@@ -1,0 +1,231 @@
+"""Composite rendering losses (the reference's loss nn.Modules, as functions).
+
+TPU-first re-design notes:
+  - camera hypotheses are folded into the batch dimension of ONE rasterizer
+    call per loss (the reference does the same via .view(-1, ...) but then
+    DataParallel-scatters; here the fold feeds a single fused jit region).
+  - the 4 semantic part projections are ONE rasterizer call with a 4-channel
+    one-hot texture instead of the reference's 4 renders of 3 duplicated
+    channels (ref: loss_utils.py:379-399) — identical math, 12x less texel
+    bandwidth — because channels share the same softmax aggregation weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..renderer.soft_renderer import SoftRenderer
+from ..ops.grid_sample import grid_sample
+from .losses import (
+    batch_get_centers,
+    bce_with_logits,
+    chamfer_dist,
+    neg_iou_loss,
+    tex_cycle_loss,
+    texture_dt_loss,
+)
+
+stop = jax.lax.stop_gradient
+
+
+def _rep_hypo(x, K):
+    """[B, ...] -> [B*K, ...] repeating each sample K times."""
+    return jnp.repeat(x, K, axis=0)
+
+
+def multi_mask_loss(renderer: SoftRenderer, vs, faces, cams_all_hypo,
+                    cam_probs, masks_gt):
+    """Probability-weighted neg-IoU over all camera hypotheses.
+
+    Ref: loss_utils.py:250-275 MultiMaskLoss.
+    vs: [B,V,3]; faces: [F,3]; cams_all_hypo: [B,K,7]; cam_probs: [B,K];
+    masks_gt: [B,H,W]. Returns (loss, mask_all_hypo [B*K,H,W]).
+    """
+    B, K = cams_all_hypo.shape[:2]
+    pred_vs = _rep_hypo(vs, K)
+    cams = cams_all_hypo.reshape(B * K, 7)
+    out = renderer.render(pred_vs, faces, cams)
+    mask_all_hypo = out.rgba[..., 3]
+    masks = _rep_hypo(masks_gt, K)
+    loss = neg_iou_loss(mask_all_hypo, masks, avg=False).reshape(B, K)
+    return (loss * cam_probs).sum(1).mean(), mask_all_hypo
+
+
+def multi_texture_loss(
+    tex_renderer: SoftRenderer,
+    hard_renderer: SoftRenderer,
+    lpips_fn: Callable,
+    vs, faces, cams_all_hypo, cam_probs, proj_cam,
+    imgs, masks_gt, masks_pred_hypo, tex, tex_flow, dts_barrier,
+):
+    """Hypothesis-weighted perceptual texture loss + dt + cycle losses.
+
+    Ref: loss_utils.py:277-331 MultiTextureLoss. Shape and cameras are
+    detached in the texture branch (ref: train_s2.py:246-248); the predicted
+    masks are NOT detached (gradients flow to shape through the mask
+    multiply, as in the reference).
+
+    Reference quirk preserved: the cycle target p2f comes from the HARD
+    renderer, whose p2f side output is identically zero (the CUDA kernel
+    only accumulates p2f in the softmax-RGB branch,
+    ...cuda_kernel.cu:417-430) — so the s2 cycle term regresses the mean
+    flow of visible faces toward the image center.
+
+    imgs: [B,H,W,3]; tex: [B,F,T2,3]; masks_pred_hypo: [B*K,H,W].
+    Returns (tex_loss, tex_dt_loss, tex_cycle, texture_pred).
+    """
+    B, K = cams_all_hypo.shape[:2]
+    pred_vs = _rep_hypo(stop(vs), K)
+    cams = stop(cams_all_hypo).reshape(B * K, 7)
+    cam_probs = stop(cam_probs)
+    texs = _rep_hypo(tex, K)
+
+    out = tex_renderer.render(pred_vs, faces, cams, texs)
+    texture_pred = out.rgba[..., :3]
+    imgs_rep = _rep_hypo(imgs, K)
+    masks_rep = _rep_hypo(masks_gt, K)
+
+    pred_masked = texture_pred * masks_pred_hypo[..., None]
+    gt_masked = imgs_rep * masks_rep[..., None]
+    # LPIPS normalizes to [-1, 1] (ref: perceptual_loss.py:49-53)
+    dist = lpips_fn(2 * pred_masked - 1, 2 * gt_masked - 1)  # [B*K]
+    tex_loss = (dist.reshape(B, K) * cam_probs).sum(1).mean()
+
+    dt_loss = texture_dt_loss(tex_flow, dts_barrier)
+
+    hard_out = hard_renderer.render(stop(vs), faces, stop(proj_cam))
+    face_ids = hard_out.aggr[:, 1].reshape(B, -1)
+    cycle, _avg_flow = tex_cycle_loss(
+        tex_flow, stop(hard_out.p2f), stop(face_ids)
+    )
+    return tex_loss, dt_loss, cycle, texture_pred
+
+
+def corr_loss_chamfer(project_points, part_vert_idx, part_points, verts,
+                      cams, weights=(1.0, 1.0, 0.0, 0.0), avg=True):
+    """Semantic part-correspondence chamfer loss.
+
+    Ref: loss_utils.py:194-248 CorrLossChamfer. `part_vert_idx` is the list
+    of 4 per-part template-vertex index arrays (head, belly, neck, back);
+    `part_points` the matching list of sampled 2D part points [B,N,2].
+    The reference callers swap the neck/back point arguments
+    (train_s2.py:311) — harmless because those weights are 0; we pass
+    arguments in declared order and replicate the weights, and the
+    zero-weighted parts still enter the mean's denominator as in the
+    reference.
+    Returns (loss, vert2d) — vert2d are the projected part vertices.
+    """
+    vert_coords = jnp.concatenate(
+        [verts[:, idx, :] for idx in part_vert_idx], axis=1
+    )
+    vert2d = project_points(vert_coords, cams)
+    dists = []
+    off = 0
+    for idx, pts, w in zip(part_vert_idx, part_points, weights):
+        n = len(idx)
+        d1, _, _, _ = chamfer_dist(vert2d[:, off:off + n, :], pts)
+        dists.append(d1 * w)
+        off += n
+    cdist = jnp.concatenate(dists, axis=1)
+    loss = cdist.mean(axis=1)
+    if avg:
+        return loss.mean(), vert2d
+    return loss, vert2d
+
+
+@dataclasses.dataclass(frozen=True)
+class PartMatchingLoss:
+    """Semantic part matching via rendered one-hot part textures.
+
+    Ref: loss_utils.py:333-440 part_matching_loss. Precomputes the per-face
+    one-hot semantic texture from the averaged UV label map once at build.
+    """
+
+    part_tex: np.ndarray      # [F, T2, num_parts] one-hot parts 1..num_parts
+    renderer: SoftRenderer
+    weights: tuple = (0.0, 5.0, 0.0, 0.0, 5.0)
+    bg_value: float = 0.1
+    num_parts: int = 4
+
+    @staticmethod
+    def build(semantic_seg, uv_sampler, num_sym_faces, renderer,
+              tex_size=6, num_parts=4):
+        """semantic_seg: [H,W] integer labels 0..num_parts (128x256 UV map);
+        uv_sampler: [F_tex,T,T,2]. Ref: loss_utils.py:341-363 (grid-samples
+        the float label map bilinearly, then rounds — preserved)."""
+        seg = jnp.asarray(semantic_seg, jnp.float32)[None, :, :, None]
+        Ft, T = uv_sampler.shape[0], uv_sampler.shape[1]
+        grid = jnp.asarray(uv_sampler).reshape(1, Ft * T * T, 2)
+        tex = grid_sample(seg, grid).reshape(1, Ft, T * T)
+        tex = jnp.concatenate([tex, tex[:, -num_sym_faces:]], axis=1)[0]
+        stex = jnp.round(tex).astype(jnp.int32)
+        one_hot = jax.nn.one_hot(stex, num_parts + 1)  # [F,T2,P+1]
+        part_tex = np.asarray(one_hot[..., 1:])
+        return PartMatchingLoss(
+            part_tex=part_tex, renderer=renderer, num_parts=num_parts
+        )
+
+    def __call__(self, verts, faces, cams, part_segs, cam_probs=None,
+                 avg=True):
+        """part_segs: [B, num_parts+1, H, W] normalized SCOPS part maps.
+        Returns (total_loss, projs [B,num_parts,H,W])."""
+        B = verts.shape[0]
+        tex = jnp.broadcast_to(
+            jnp.asarray(self.part_tex)[None], (B,) + self.part_tex.shape
+        )
+        out = self.renderer.render(verts, faces, cams, tex)
+        projs = out.rgba[..., : self.num_parts]  # [B,H,W,P]
+        projs = projs.transpose(0, 3, 1, 2)      # [B,P,H,W]
+        S = projs.shape[-1]
+        bg = jnp.full((B, 1, S, S), self.bg_value, projs.dtype)
+        proj = jnp.concatenate([stop(bg), projs], axis=1)  # [B,P+1,H,W]
+
+        centers_proj = batch_get_centers(jax.nn.softmax(proj, axis=1)[:, 1:])
+        centers_parts = batch_get_centers(
+            jax.nn.softmax(part_segs, axis=1)[:, 1:]
+        )
+
+        w = jnp.asarray(self.weights).reshape(1, -1, 1, 1)
+        max_proj = jnp.maximum(
+            proj.reshape(B, self.num_parts + 1, -1).max(axis=2), 1e-5
+        )
+        proj_norm = proj / max_proj[:, :, None, None]
+        max_part = jnp.maximum(
+            part_segs.reshape(B, self.num_parts + 1, -1).max(axis=2), 1e-5
+        )
+        part_norm = part_segs / max_part[:, :, None, None]
+
+        if avg:
+            loss_eqv = (((proj_norm - part_norm) ** 2) * w).mean()
+            loss_lmeqv = ((centers_proj - centers_parts) ** 2).mean()
+        else:
+            assert cam_probs is not None
+            le = (((proj_norm - part_norm) ** 2) * w).sum(axis=(1, 2, 3))
+            le = le / (proj.shape[1] * proj.shape[2] * proj.shape[3])
+            loss_eqv = (le.reshape(cam_probs.shape) * cam_probs).sum(1).mean()
+            lm = ((centers_proj - centers_parts) ** 2).sum(axis=(1, 2))
+            lm = lm / (centers_proj.shape[1] * centers_proj.shape[2])
+            loss_lmeqv = (lm.reshape(cam_probs.shape) * cam_probs).sum(1).mean()
+
+        return (loss_eqv + loss_lmeqv) / 4.0, projs
+
+
+def gan_loss(disc_apply, real, fake):
+    """BCE GAN loss through the gradient-reversal discriminator.
+
+    Ref: train_s2.py:255-267 / train_s1.py:230-243. real/fake: NHWC images
+    (or masks with a channel dim). Returns (loss, accuracy).
+    """
+    pred = jnp.concatenate([real, fake], axis=0)
+    labels = jnp.concatenate(
+        [jnp.ones(real.shape[0]), jnp.zeros(fake.shape[0])]
+    )
+    logits = disc_apply(pred).squeeze(-1)
+    loss = bce_with_logits(logits, labels)
+    acc = ((jax.nn.sigmoid(logits) >= 0.5).astype(jnp.float32) == labels)
+    return loss, acc.mean()
