@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark: stage-2 train-step throughput (images/sec/chip) on the real
+chip at the reference training configuration, plus rasterizer Mpix/s.
+
+Prints ONE JSON line:
+  {"metric": "train_s2_images_per_sec_per_chip", "value": ..., "unit":
+   "images/sec", "vs_baseline": ..., ...extras}
+
+vs_baseline is measured/REF_ESTIMATE. The reference repo publishes no
+numbers (BASELINE.md); REF_ESTIMATE is a documented estimate of the
+PyTorch+CUDA reference's train_s2 throughput on a V100 (batch 16, ~19
+soft-rasterizer passes at 512^2 per step + LPIPS + resnet18 fwd/bwd),
+to be replaced by a measured value when the reference can be run.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF_ESTIMATE_IMGS_PER_SEC = 20.0  # see module docstring
+
+# Benchmark configuration — matches the reference training setup
+# (BASELINE.md: image 256, icosphere subdiv 3, tex 6, 8 hypo cams,
+# batch 16 per the README s2 command, anti-aliased rendering at 512).
+BATCH = 16
+IMAGE_SIZE = 256
+
+
+def bench_rasterizer(jax, jnp):
+    """Fwd+bwd rasterizer throughput at the training config."""
+    import numpy as np
+    from umr_tpu.ops.rasterize import soft_rasterize
+
+    B, F, S = 8, 1280, 512
+    rng = np.random.RandomState(0)
+    faces = np.zeros((B, F, 3, 3), np.float32)
+    faces[..., :2] = rng.uniform(-0.7, 0.7, size=(B, F, 3, 2))
+    faces[..., 2] = 7.0 + rng.uniform(-1, 1, size=(B, F, 3))
+    tex = rng.rand(B, F, 36, 3).astype(np.float32)
+    fv = jnp.asarray(faces)
+    tx = jnp.asarray(tex)
+
+    def loss(fv, tx):
+        out = soft_rasterize(
+            fv, tx, image_size=S, sigma_val=1e-5, gamma_val=1e-4,
+            dist_eps=1e-10,
+        )
+        return out.rgba.sum()
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    g(fv, tx)[0].block_until_ready()
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        out = g(fv, tx)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    mpix = B * S * S / dt / 1e6
+    return mpix, dt
+
+
+def bench_train_s2(jax, jnp):
+    import numpy as np
+    from umr_tpu.config import Config
+    from umr_tpu.data import synthetic_batch
+    from umr_tpu.losses.composite import PartMatchingLoss
+    from umr_tpu.mesh import build_template
+    from umr_tpu.renderer import SoftRenderer
+    from umr_tpu.training.steps import build_s2_step
+
+    cfg = Config(
+        image_size=IMAGE_SIZE, img_size=IMAGE_SIZE, batch_size=BATCH,
+        num_hypo_cams=8, anti_aliasing=True, subdivide=3, tex_size=6,
+    )
+    template = build_template(cfg.subdivide, cfg.axis, cfg.tex_size)
+    rng = np.random.RandomState(0)
+    seg = rng.randint(0, 5, size=(128, 256)).astype(np.float32)
+    V = template.num_verts
+    idx = rng.permutation(V)
+    part_vert_idx = [idx[0:100], idx[100:250], idx[250:330], idx[330:480]]
+    part_renderer = SoftRenderer(
+        image_size=IMAGE_SIZE, anti_aliasing=cfg.anti_aliasing,
+        ambient_intensity=1.0, directional_intensity=0.0,
+        face_chunk=cfg.face_chunk,
+        pixel_rows_per_block=cfg.pixel_rows_per_block,
+    )
+    part_loss = PartMatchingLoss.build(
+        seg, template.uv_sampler, template.num_sym_faces, part_renderer,
+        tex_size=cfg.tex_size,
+    )
+    model, disc, lpips, init_fn, step_fn = build_s2_step(
+        cfg, template, part_loss, part_vert_idx
+    )
+    state = init_fn(jax.random.key(0))
+    batch = jax.tree.map(
+        jnp.asarray, synthetic_batch(rng, BATCH, IMAGE_SIZE)
+    )
+    key = jax.random.key(1)
+
+    state, sc = step_fn(state, batch, key)  # compile
+    jax.block_until_ready(sc["total_loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, sc = step_fn(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(sc["total_loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return BATCH / dt, dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    raster_mpix, raster_dt = bench_rasterizer(jax, jnp)
+    imgs_per_sec, step_dt = bench_train_s2(jax, jnp)
+
+    result = {
+        "metric": "train_s2_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(imgs_per_sec / REF_ESTIMATE_IMGS_PER_SEC, 3),
+        "train_s2_iter_time_s": round(step_dt, 4),
+        "rasterizer_mpix_per_sec_fwdbwd": round(raster_mpix, 1),
+        "batch_size": BATCH,
+        "image_size": IMAGE_SIZE,
+        "device": str(jax.devices()[0]),
+        "baseline_note": "vs_baseline uses documented REF_ESTIMATE="
+                         f"{REF_ESTIMATE_IMGS_PER_SEC} img/s (reference "
+                         "publishes no numbers; see BASELINE.md)",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Configuration: one dataclass, reference-compatible CLI flag names.
+
+The reference scatters absl.flags across modules (data/base.py:47-57,
+nnutils/cub_mesh.py:29-48, nnutils/train_utils.py:48-80, per-experiment
+weights at train_s2.py:49-72 ...), with duplicate definitions and the
+image_size/img_size aliasing hazard. Here every option lives in one frozen
+dataclass; `define_flags`/`from_flags` expose the same CLI names per entry
+point, and `image_size`/`img_size` are kept in sync.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- experiment / harness (ref: train_utils.py:48-80) --------------
+    name: str = "exp_name"
+    checkpoint_dir: str = "cachedir/snapshots"
+    vis_dir: str = "cachedir/visualization"
+    num_epochs: int = 500
+    num_pretrain_epochs: int = 0
+    learning_rate: float = 1e-4
+    beta1: float = 0.9
+    use_sgd: bool = False
+    optim_bs: int = 1
+    num_iter: int = 0
+    batch_size: int = 64
+    print_freq: int = 20
+    save_latest_freq: int = 3000
+    save_epoch_freq: int = 301
+    display_freq: int = 100
+    display_visuals: bool = True
+    print_scalars: bool = True
+    is_train: bool = True
+    workers: int = 16
+
+    # ---- data (ref: data/base.py:47-57, data/cub.py:45-48) -------------
+    img_size: int = 256
+    image_size: int = 256          # alias kept for CLI parity
+    padding_frac: float = 0.05
+    jitter_frac: float = 0.05
+    split: str = "train"
+    num_kps: int = 15
+    n_data_workers: int = 4
+    dataset: str = "cub"
+    cub_dir: str = "CUB_200_2011/"
+    cub_cache_dir: str = "unsup-mesh/cachedir/cub/"
+    scops_path: str = "SCOPS/results/cub/ITER_60000/train/dcrf_prob"
+    use_scops: bool = True
+    number_pairs: int = 10000
+
+    # ---- model (ref: cub_mesh.py:29-48) ---------------------------------
+    symmetric: bool = True
+    symmetric_texture: bool = True
+    multiple_cam_hypo: bool = True
+    nz_feat: int = 200
+    z_dim: int = 350
+    num_hypo_cams: int = 8
+    az_ele_quat: bool = False
+    scale_lr_decay: float = 0.05
+    scale_bias: float = 1.0
+    use_texture: bool = True
+    tex_size: int = 6
+    subdivide: int = 3
+    only_mean_sym: bool = False
+    axis: int = 1
+    pred_cam: bool = True
+    renderer_type: str = "softmax"
+    use_gan: bool = True
+    detach_shape: bool = True
+    detach_cam: bool = True
+    stemp_path: str = "unsup-mesh/cachedir/cub/scops/"
+    model_path: str = "unsup-mesh/cachedir/snapshots/cub_net/pred_net_latest.pth"
+    out_dir: str = "unsup-mesh/cachedir/snapshots/cub_net/"
+    out_path: str = "unsup-mesh/cachedir/demo/"
+    img_path: str = "demo_imgs/birdie.jpg"
+    num_parts: int = 4
+    mode: str = "flow"
+    sigma: int = 3
+    visualize: bool = False
+
+    # ---- loss weights (ref: train_s2.py:49-60 / train_s1.py:46-67) -----
+    mask_loss_wt: float = 2.5
+    grl_wt: float = 0.2
+    gan_loss_wt: float = 1.0
+    triangle_reg_wt: float = 0.15
+    flatten_reg_wt: float = 0.0005
+    tex_loss_wt: float = 3.0
+    tex_dt_loss_wt: float = 3.0
+    tex_cycle_loss_wt: float = 1.0
+    ent_loss_wt: float = 0.05
+    prob_loss_wt: float = 5.0
+    vertex_loss_wt: float = 10.0
+    deform_reg_wt: float = 1.0
+    ori_reg_wt: float = 0.4
+    stop_ori_epoch: float = 3.0
+    update_template_freq: int = 5
+
+    # ---- TPU-native knobs (new) -----------------------------------------
+    anti_aliasing: bool = True     # reference renders 2x + avg-pool
+    face_chunk: int = 160
+    pixel_rows_per_block: int = 32
+    data_parallel: bool = True     # shard batch over available devices
+    seed: int = 0
+    bf16: bool = False
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    def sync_image_size(self):
+        """Keep the reference's duplicate image_size/img_size in sync: an
+        explicitly-set one wins; image_size takes priority (the training
+        scripts read image_size, the loaders read img_size)."""
+        if self.image_size != 256:
+            return self.replace(img_size=self.image_size)
+        if self.img_size != 256:
+            return self.replace(image_size=self.img_size)
+        return self
+
+
+# --------------------------------------------------------------------------
+# absl CLI bridging: define flags for each dataclass field, parse back.
+
+def define_flags(flag_values=None, overrides=None):
+    from absl import flags
+
+    fv = flag_values if flag_values is not None else flags.FLAGS
+    defaults = Config(**(overrides or {}))
+    for f in dataclasses.fields(Config):
+        if f.name in fv:
+            continue
+        default = getattr(defaults, f.name)
+        if f.type in ("bool", bool):
+            flags.DEFINE_boolean(f.name, default, f.name, flag_values=fv)
+        elif f.type in ("int", int):
+            flags.DEFINE_integer(f.name, default, f.name, flag_values=fv)
+        elif f.type in ("float", float):
+            flags.DEFINE_float(f.name, default, f.name, flag_values=fv)
+        else:
+            flags.DEFINE_string(f.name, default, f.name, flag_values=fv)
+    return fv
+
+
+def from_flags(fv) -> Config:
+    kwargs = {f.name: getattr(fv, f.name) for f in dataclasses.fields(Config)}
+    return Config(**kwargs).sync_image_size()

@@ -1,0 +1,231 @@
+"""Semantic template construction: average SCOPS part maps in UV space
+over the dataset, derive per-part template vertices
+(ref: experiments/avg_uv.py).
+
+  python -m umr_tpu.experiments.avg_uv --model_path <s1 pth> \
+      --out_dir <stemp dir> --use_scops ...
+
+Outputs into --out_dir: semantic_prob.npy, semantic_seg.png,
+{head,neck,back,belly}_vertices.npy, mean_v.pth, mean_template.obj,
+vertex_label.obj — the artifact set train_s2 consumes.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import app
+
+from ..config import Config, define_flags, from_flags
+from ..data import cub as cub_data
+from ..mesh import build_template
+from ..models import MeshNetS1, LPIPSAlex
+from ..models.mesh_net import symmetrize
+from ..ops.grid_sample import grid_sample
+from ..renderer import SoftRenderer
+from ..training import checkpoints
+from ..training.trainer import prepare_batch
+from ..utils import image as image_utils
+from ..utils.obj_io import save_obj
+from ..utils.visualizer import green
+
+FLAGS = define_flags(overrides=dict(use_scops=True, is_train=False))
+
+# cameras are flipped when scoring the exemplar against the flipped image
+# (ref: avg_uv.py:160-161)
+ORI_FLIP = np.array([1, -1, 1, 1, 1, -1, -1], np.float32)
+
+
+def run(cfg: Config, dataloader=None):
+    template = build_template(cfg.subdivide, cfg.axis, cfg.tex_size)
+    model = MeshNetS1(
+        template=template, nz_feat=cfg.nz_feat, z_dim=cfg.z_dim,
+        use_texture=cfg.use_texture, pred_cam=cfg.pred_cam,
+    )
+    H = cfg.image_size
+    variables = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.zeros((1, H, H, 3)), train=True,
+    )
+    params, template_vars = checkpoints.load_pth(
+        cfg.model_path, variables["params"], variables["template"]
+    )
+    variables = dict(variables)
+    variables["params"] = params
+    variables["template"] = template_vars or variables["template"]
+
+    lpips = LPIPSAlex()
+    from .train_s1 import _maybe_load_lpips
+
+    lp = _maybe_load_lpips(cfg)
+    if lp is None:
+        lp = lpips.init(
+            jax.random.key(2), jnp.zeros((1, H, H, 3)),
+            jnp.zeros((1, H, H, 3)),
+        )["params"]
+
+    renderer = SoftRenderer(
+        image_size=H, render_type="softmax",
+        anti_aliasing=cfg.anti_aliasing, face_chunk=cfg.face_chunk,
+        pixel_rows_per_block=cfg.pixel_rows_per_block,
+    )
+    faces = jnp.asarray(template.faces)
+    mean_shape = symmetrize(variables["template"]["mean_v"], template)
+
+    if dataloader is None:
+        dataloader = cub_data.data_loader(cfg, shuffle=False, mirror=False)
+
+    @jax.jit
+    def score_batch(input_img, imgs, masks, part_segs):
+        """Exemplar scoring pass (ref: avg_uv.py:141-198)."""
+        out = model.apply(
+            variables, input_img, train=False,
+            rngs={"sample": jax.random.key(0)},
+        )
+        pred_vs = mean_shape[None] + symmetrize(out["delta_v"], template)
+        proj_cam = out["cam"] * jnp.asarray(ORI_FLIP)
+        rend = renderer.render(pred_vs, faces, proj_cam)
+        rgb_pred = rend.rgba[..., :3]
+        mask_pred = rend.rgba[..., 3]
+        flip_imgs = imgs[:, :, ::-1]
+        flip_masks = masks[:, :, ::-1]
+        a = 2 * (rgb_pred * mask_pred[..., None]) - 1
+        b = 2 * (flip_imgs * flip_masks[..., None]) - 1
+        tex_loss = lpips.apply({"params": lp}, a, b)
+        dist = ((pred_vs - mean_shape[None]) ** 2).sum(axis=(1, 2))
+        scale = tex_loss.mean() / dist.mean()
+        score = tex_loss + dist * scale
+        # uv part maps: sample part probs at the predicted uv flow image
+        uv_parts = grid_sample(
+            part_segs.transpose(0, 2, 3, 1), out["uvimage_pred"]
+        ).transpose(0, 3, 1, 2)  # [B,5,h,w]
+        return score, uv_parts, pred_vs
+
+    # ---- pass 1: exemplar search --------------------------------------
+    print(green("Search for the exemplar instance."))
+    best_score = np.inf
+    best_uv = None
+    batches = []
+    for batch in dataloader:
+        db = prepare_batch(batch, use_scops=True, use_texture=False)
+        part_segs = jnp.asarray(
+            np.transpose(db["part_prob"], (0, 3, 1, 2))
+        )
+        score, uv_parts, _ = score_batch(
+            jnp.asarray(db["input_img"]), jnp.asarray(db["img"]),
+            jnp.asarray(db["mask"]), part_segs,
+        )
+        score = np.asarray(score)
+        i = int(score.argmin())
+        if score[i] < best_score:
+            best_score = float(score[i])
+            best_uv = np.asarray(uv_parts[i])
+        batches.append(batch)
+
+    # ---- pass 2: average top-5-closest uv part maps per batch ---------
+    print(green("Start to compute semantic template."))
+    best_uv_j = jnp.asarray(best_uv)[None]
+
+    @jax.jit
+    def batch_avg(input_img, part_segs):
+        out = model.apply(
+            variables, input_img, train=False,
+            rngs={"sample": jax.random.key(0)},
+        )
+        uv_parts = grid_sample(
+            part_segs.transpose(0, 2, 3, 1), out["uvimage_pred"]
+        ).transpose(0, 3, 1, 2)
+        dist = ((uv_parts - best_uv_j) ** 2).sum(axis=(1, 2, 3))
+        _, idx = jax.lax.top_k(-dist, 5)
+        return uv_parts[idx].sum(axis=0), idx
+
+    avg_uv_parts, counter = None, 0
+    for batch in batches:
+        db = prepare_batch(batch, use_scops=True, use_texture=False)
+        part_segs = jnp.asarray(np.transpose(db["part_prob"], (0, 3, 1, 2)))
+        s, idx = batch_avg(jnp.asarray(db["input_img"]), part_segs)
+        s = np.asarray(s)
+        avg_uv_parts = s if avg_uv_parts is None else avg_uv_parts + s
+        counter += idx.shape[0]
+
+    avg_prob = (avg_uv_parts / counter).transpose(1, 2, 0)  # [h,w,5]
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    np.save(osp.join(cfg.out_dir, "semantic_prob.npy"), avg_prob)
+    seg = np.argmax(avg_prob, axis=2).astype(np.uint8)
+    import imageio.v2 as imageio
+
+    imageio.imwrite(osp.join(cfg.out_dir, "semantic_seg.png"), seg)
+
+    # ---- vertex labels from the UV label map (ref: avg_uv.py:254-305) --
+    uv_sampler = jnp.asarray(template.uv_sampler)
+    Ft, T = uv_sampler.shape[0], uv_sampler.shape[1]
+    seg_f = jnp.asarray(seg.astype(np.float32))[None, :, :, None]
+    tex_seg = grid_sample(
+        seg_f, uv_sampler.reshape(1, Ft * T * T, 2)
+    ).reshape(1, Ft, T * T)
+    tex_seg = jnp.concatenate(
+        [tex_seg, tex_seg[:, -template.num_sym_faces:]], axis=1
+    )[0]
+    face_label = _most_freq(np.asarray(jnp.round(tex_seg)).astype(int))
+
+    V = template.num_verts
+    vert_label = np.zeros(V, int)
+    faces_np = template.faces
+    for v in range(V):
+        fids = np.where((faces_np == v).any(axis=1))[0]
+        vert_label[v] = _most_freq(face_label[fids][None])[0]
+
+    parts = [np.where(vert_label == p)[0] for p in range(1, cfg.num_parts + 1)]
+    for name, p in zip(("head", "neck", "back", "belly"), parts):
+        np.save(osp.join(cfg.out_dir, f"{name}_vertices.npy"), p)
+
+    import torch
+
+    torch.save(
+        torch.tensor(np.asarray(variables["template"]["mean_v"])),
+        osp.join(cfg.out_dir, "mean_v.pth"),
+    )
+
+    # visualization meshes
+    cmap = image_utils.color_map(cfg.num_parts + 1, normalized=True)
+    mean_v_full = np.asarray(mean_shape)
+    seg_color = image_utils.colorize(seg, cfg.num_parts + 1) / 255.0
+    seg_tex = grid_sample(
+        jnp.asarray(seg_color, jnp.float32)[None],
+        uv_sampler.reshape(1, Ft * T * T, 2),
+    ).reshape(Ft, T * T, 3)
+    seg_tex = np.concatenate(
+        [seg_tex, seg_tex[-template.num_sym_faces:]], axis=0
+    )
+    save_obj(
+        osp.join(cfg.out_dir, "mean_template.obj"), mean_v_full, faces_np,
+        seg_tex,
+    )
+    save_obj(
+        osp.join(cfg.out_dir, "vertex_label.obj"), mean_v_full, faces_np,
+        cmap[vert_label], texture_type="vertex",
+    )
+    print(green(f"Semantic template saved at {cfg.out_dir}."))
+    return cfg.out_dir
+
+
+def _most_freq(arr):
+    """Row-wise most frequent element (ref: avg_uv.py:120-131)."""
+    arr = np.asarray(arr, int)
+    out = np.zeros(arr.shape[0], int)
+    for i, row in enumerate(arr):
+        vals, counts = np.unique(row, return_counts=True)
+        out[i] = vals[counts.argmax()]
+    return out
+
+
+def main(_):
+    run(from_flags(FLAGS))
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -1,0 +1,114 @@
+"""Stage-2 training: full semantic-consistency objective.
+
+CLI-compatible with the reference (ref: experiments/train_s2.py):
+  python -m umr_tpu.experiments.train_s2 --name cub_s2 --cub_dir ... \
+      --stemp_path <avg_uv output dir> --batch_size 16
+
+Consumes the avg_uv semantic-template artifacts from --stemp_path:
+mean_v.pth, semantic_seg.png, vertices_idx/{head,neck,back,belly}_vertices.npy
+(ref: train_s2.py:86, loss_utils.py:197-211,341).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import jax
+import numpy as np
+from absl import app
+
+from ..config import Config, define_flags, from_flags
+from ..data import cub as cub_data
+from ..losses.composite import PartMatchingLoss
+from ..mesh import build_template
+from ..renderer import SoftRenderer
+from ..training.steps import build_s2_step
+from ..training.trainer import Trainer
+
+FLAGS = define_flags()
+
+
+def load_semantic_template(cfg: Config, template):
+    """(mean_v [num_output,3], semantic_seg [128,256], part_vert_idx x4)."""
+    stemp = cfg.stemp_path
+    mean_v = None
+    mv_path = osp.join(stemp, "mean_v.pth")
+    if osp.exists(mv_path):
+        import torch
+
+        mean_v = np.asarray(
+            torch.load(mv_path, map_location="cpu", weights_only=False)
+        ).astype(np.float32)
+    seg_path = osp.join(stemp, "semantic_seg.png")
+    if osp.exists(seg_path):
+        import imageio.v2 as imageio
+
+        seg = np.asarray(imageio.imread(seg_path)).astype(np.float32)
+    else:
+        raise FileNotFoundError(f"{seg_path} missing — run avg_uv first")
+
+    idx_dir = osp.join(stemp, "vertices_idx")
+    if not osp.isdir(idx_dir):
+        idx_dir = stemp  # avg_uv writes them beside semantic_seg.png
+    part_vert_idx = [
+        np.load(osp.join(idx_dir, f"{p}_vertices.npy")).astype(np.int64)
+        for p in ("head", "belly", "neck", "back")
+    ]
+    return mean_v, seg, part_vert_idx
+
+
+def run(cfg: Config, dataloader=None):
+    template = build_template(cfg.subdivide, cfg.axis, cfg.tex_size)
+    mean_v, seg, part_vert_idx = load_semantic_template(cfg, template)
+
+    part_renderer = SoftRenderer(
+        image_size=cfg.image_size, render_type="softmax",
+        anti_aliasing=cfg.anti_aliasing, ambient_intensity=1.0,
+        directional_intensity=0.0, face_chunk=cfg.face_chunk,
+        pixel_rows_per_block=cfg.pixel_rows_per_block,
+    )
+    part_loss = PartMatchingLoss.build(
+        seg, template.uv_sampler, template.num_sym_faces, part_renderer,
+        tex_size=cfg.tex_size, num_parts=cfg.num_parts,
+    )
+    model, disc, lpips, init_fn, step_fn = build_s2_step(
+        cfg, template, part_loss, part_vert_idx
+    )
+
+    from .train_s1 import _maybe_load_lpips
+
+    state = init_fn(jax.random.key(cfg.seed), _maybe_load_lpips(cfg))
+    if mean_v is not None:
+        state = state.replace(template={"mean_v": mean_v})
+
+    # resume from a stage-1/previous .pth if given
+    if cfg.num_pretrain_epochs > 0 or os.environ.get("UMR_TPU_RESUME"):
+        from ..training import checkpoints
+
+        pth = os.environ.get(
+            "UMR_TPU_RESUME",
+            osp.join(cfg.checkpoint_dir, cfg.name, "pred_net_latest.pth"),
+        )
+        if osp.exists(pth):
+            params_m, tmpl = checkpoints.load_pth(
+                pth, state.params["model"], state.template
+            )
+            state = state.replace(
+                params={**state.params, "model": params_m},
+                template=tmpl or state.template,
+            )
+
+    if dataloader is None:
+        dataloader = cub_data.data_loader(cfg)
+
+    trainer = Trainer(cfg, step_fn, state, dataloader)
+    return trainer.train()
+
+
+def main(_):
+    run(from_flags(FLAGS))
+
+
+if __name__ == "__main__":
+    app.run(main)

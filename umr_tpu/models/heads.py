@@ -31,7 +31,14 @@ class Encoder(nn.Module):
         from .resnet import ResNet18Conv
 
         x = ResNet18Conv(n_blocks=4, name="resnet")(img, train)
-        x = ConvBlock(256, kernel_size=4, stride=2, name="enc_conv1")(x, train)
+        if x.shape[1] >= 2:
+            x = ConvBlock(256, kernel_size=4, stride=2,
+                          name="enc_conv1")(x, train)
+        else:
+            # tiny test images (<64 px): the 4x4/s2 conv would produce an
+            # empty map; keep a 1x1 conv so shapes stay valid
+            x = ConvBlock(256, kernel_size=1, stride=1,
+                          name="enc_conv1")(x, train)
         x = x.reshape(x.shape[0], -1)
         feat = FCStack(self.nz_feat, 2, name="enc_fc")(x, train)
 

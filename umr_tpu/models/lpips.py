@@ -39,7 +39,8 @@ class AlexNetFeatures(nn.Module):
     def __call__(self, x):
         outs = []
         for i, (feat, k, s, p) in enumerate(_CONVS):
-            if i in _POOL_BEFORE:
+            if i in _POOL_BEFORE and min(x.shape[1], x.shape[2]) >= 3:
+                # pool skipped only for tiny test images (<3 px feature map)
                 x = nn.max_pool(x, (3, 3), strides=(2, 2))
             x = nn.Conv(
                 feat, (k, k), (s, s), padding=[(p, p), (p, p)],

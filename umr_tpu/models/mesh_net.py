@@ -68,6 +68,7 @@ class MeshNet(nn.Module):
                 t.uv_sampler,
                 img_H=H,
                 img_W=W,
+                n_upconv=min(5, int(np.log2(H))),
                 symmetric=True,
                 num_sym_faces=t.num_sym_faces,
             )
@@ -145,6 +146,7 @@ class MeshNetS1(nn.Module):
                 t.uv_sampler,
                 img_H=H,
                 img_W=W,
+                n_upconv=min(5, int(np.log2(H))),
                 symmetric=True,
                 num_sym_faces=t.num_sym_faces,
             )

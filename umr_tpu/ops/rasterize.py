@@ -93,9 +93,12 @@ def euclidean_p2f(w, fx, fy, sym, obt, xp, yp):
 
     w:   [B, Fc, P, 3] pixel barycentric coords
     fx, fy: [B, Fc, 3] face corner coords; sym: [B, Fc, 3, 3]; obt: [B, Fc, 3]
-    xp, yp: [P] pixel coords
+    xp, yp: [P] pixel coords, or any shape broadcastable to [B, Fc, P]
     Returns (sign [B,Fc,P], dis_x, dis_y, t [B,Fc,P,3]).
     """
+    if xp.ndim == 1:
+        xp = xp[None, None, :]
+        yp = yp[None, None, :]
     fxp = fx[:, :, None, :]  # [B,Fc,1,3]
     fyp = fy[:, :, None, :]
 
@@ -152,9 +155,9 @@ def euclidean_p2f(w, fx, fy, sym, obt, xp, yp):
 
     def corner_dot(k, kk):
         return (
-            (xp[None, None, :] - fx[..., k][:, :, None])
+            (xp - fx[..., k][:, :, None])
             * (fx[..., kk] - fx[..., k])[:, :, None]
-            + (yp[None, None, :] - fy[..., k][:, :, None])
+            + (yp - fy[..., k][:, :, None])
             * (fy[..., kk] - fy[..., k])[:, :, None]
         )
 
@@ -286,6 +289,9 @@ def soft_rasterize(
     inv_all, sym_all, obt_all = face_info(fv[..., :2])
 
     bg = jnp.asarray(background_color, dtype=dtype)
+    if bg.shape[0] < C:  # pad bg to the texture channel count
+        bg = jnp.concatenate([bg, jnp.zeros(C - bg.shape[0], dtype)])
+    bg = bg[:C]
 
     def block_fn(block_rows):
         """Rasterize one block of pixel rows. block_rows: [rows_blk] ids."""
@@ -426,10 +432,10 @@ def soft_rasterize(
             else jnp.zeros((B, P), dtype),
             jnp.full((B, P), eps, dtype),
             jnp.full((B, P), bg_weight, dtype),
-            jnp.broadcast_to(bg, (B, P, 3)).astype(dtype) * bg_weight,
+            jnp.broadcast_to(bg, (B, P, C)).astype(dtype) * bg_weight,
             jnp.full((B, P), 1e7, dtype),
             jnp.full((B, P), -1, jnp.int32),
-            jnp.broadcast_to(bg, (B, P, 3)).astype(dtype) * 1.0,
+            jnp.broadcast_to(bg, (B, P, C)).astype(dtype) * 1.0,
             jnp.int32(0),
         )
         carry, p2f_chunks = jax.lax.scan(
@@ -451,7 +457,7 @@ def soft_rasterize(
             rgb = jnp.where(
                 (face_idx_min >= 0)[..., None],
                 hard_color,
-                jnp.broadcast_to(bg, (B, P, 3)).astype(dtype),
+                jnp.broadcast_to(bg, (B, P, C)).astype(dtype),
             )
             aggr = jnp.stack([depth_min, face_idx_min.astype(dtype)], axis=1)
 
@@ -467,7 +473,7 @@ def soft_rasterize(
     else:
         rgba_b, aggr_b, p2f_b = jax.lax.map(block_fn, block_ids)
 
-    rgba = rgba_b.transpose(1, 0, 2, 3).reshape(B, S, S, 4)
+    rgba = rgba_b.transpose(1, 0, 2, 3).reshape(B, S, S, C + 1)
     aggr = aggr_b.transpose(1, 2, 0, 3).reshape(B, 2, S, S)
     p2f_sums = p2f_b.sum(axis=0)[:, :F, :]
     p2f = p2f_sums[..., :2] / jnp.maximum(p2f_sums[..., 2:3], 1e-12)

@@ -81,12 +81,20 @@ class SoftRenderer:
     ambient_intensity: float = 0.8        # ambient_light_only() -> 1.0
     directional_intensity: float = 0.5    # ambient_light_only() -> 0.0
     light_direction: tuple = (0.0, 1.0, 0.0)
+    light_color: tuple = (1.0, 1.0, 1.0)
     eye: tuple = (0.0, 0.0, -2.732)
     offset_z: float = 5.0
     dist_func: str = "euclidean"
     aggr_func_alpha: str = "prod"
     face_chunk: int = 160
     pixel_rows_per_block: int = 32
+    # 'binned' = tile-binned rasterizer (production TPU path);
+    # 'dense' = all (pixel, face) pairs; 'auto' = binned for large renders.
+    impl: str = "auto"
+    tile_size: int = 16
+    max_faces_per_tile: int = 64
+    max_cover: int = 4
+    tile_chunk: int = 0
 
     def ambient_light_only(self):
         return dataclasses.replace(
@@ -124,7 +132,12 @@ class SoftRenderer:
         else:
             fv = _gather_faces(verts, faces)
 
-        if textures is not None:
+        identity_light = (
+            self.ambient_intensity == 1.0
+            and self.directional_intensity == 0.0
+            and tuple(self.light_color) == (1.0, 1.0, 1.0)
+        )
+        if textures is not None and not identity_light:
             normals = surface_normals(fv)
             textures = apply_lighting(
                 textures,
@@ -132,12 +145,11 @@ class SoftRenderer:
                 self.ambient_intensity,
                 self.directional_intensity,
                 self.light_direction,
+                self.light_color,
             )
 
         render_size = self.image_size * (2 if self.anti_aliasing else 1)
-        out = soft_rasterize(
-            fv,
-            textures,
+        common = dict(
             image_size=render_size,
             background_color=self.background_color,
             sigma_val=self.sigma_val,
@@ -147,13 +159,34 @@ class SoftRenderer:
             aggr_func_rgb=self.render_type,
             aggr_func_alpha=self.aggr_func_alpha,
             double_side=True,
-            face_chunk=self.face_chunk,
-            pixel_rows_per_block=self.pixel_rows_per_block,
         )
+        use_binned = self.impl == "binned" or (
+            self.impl == "auto" and render_size >= 128
+        )
+        if use_binned:
+            from ..ops.rasterize_binned import soft_rasterize_binned
+
+            out = soft_rasterize_binned(
+                fv,
+                textures,
+                tile_size=self.tile_size,
+                max_faces_per_tile=self.max_faces_per_tile,
+                max_cover=self.max_cover,
+                tile_chunk=self.tile_chunk or None,
+                **common,
+            )
+        else:
+            out = soft_rasterize(
+                fv,
+                textures,
+                face_chunk=self.face_chunk,
+                pixel_rows_per_block=self.pixel_rows_per_block,
+                **common,
+            )
         if self.anti_aliasing:
             rgba = out.rgba.reshape(
                 out.rgba.shape[0],
-                self.image_size, 2, self.image_size, 2, 4,
+                self.image_size, 2, self.image_size, 2, out.rgba.shape[-1],
             ).mean(axis=(2, 4))
             out = RasterOut(rgba=rgba, p2f=out.p2f, aggr=out.aggr)
         return out

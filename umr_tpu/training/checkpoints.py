@@ -1,0 +1,86 @@
+"""Checkpointing: Orbax for native training state, plus torch-compatible
+.pth import/export of the model weights (ref format: raw state_dict saved as
+'{label}_net_{epoch|latest}.pth', ref: nnutils/train_utils.py:106-125).
+
+Periodic Orbax checkpoints double as preemption recovery (the reference has
+none). Optimizer state IS saved natively (the reference drops it); .pth
+round-trips carry model params only, like the reference.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_state(ckpt_dir: str, label: str, state) -> str:
+    path = os.path.abspath(os.path.join(ckpt_dir, f"{label}_state"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_state(ckpt_dir: str, label: str, target):
+    path = os.path.abspath(os.path.join(ckpt_dir, f"{label}_state"))
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target=target)
+
+
+def save_pth(path: str, params: Any, template: Any = None) -> None:
+    """Export model params (+ mean_v buffer) as a torch state_dict .pth.
+
+    Keys are the flattened flax paths ('encoder/resnet/conv1/kernel', ...);
+    tools/convert_torch_weights.py maps between this layout and the
+    reference's torch module names.
+    """
+    import torch
+
+    flat = _flatten("", params)
+    if template is not None:
+        flat.update(_flatten("", {"mean_v": template["mean_v"]}))
+    sd = {k: torch.tensor(np.asarray(v)) for k, v in flat.items()}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    torch.save(sd, path)
+
+
+def load_pth(path: str, params_like: Any, template_like: Any = None):
+    """Restore params saved by save_pth (shape-checked; skips batch-shaped
+    buffers by construction — we have none, unlike the reference's
+    uv_sampler/noise, ref: test_utils.py:106-116)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    flat = {k: np.asarray(v) for k, v in sd.items()}
+
+    def rebuild(prefix, like):
+        if isinstance(like, dict):
+            return {k: rebuild(f"{prefix}{k}/", v) for k, v in like.items()}
+        key = prefix[:-1]
+        if key in flat:
+            arr = flat[key]
+            assert arr.shape == tuple(like.shape), (key, arr.shape, like.shape)
+            return arr.astype(np.asarray(like).dtype)
+        return like
+
+    params = rebuild("", params_like)
+    template = None
+    if template_like is not None:
+        mv = flat.get("mean_v")
+        template = {"mean_v": mv if mv is not None
+                    else template_like["mean_v"]}
+    return params, template
+
+
+def _flatten(prefix: str, tree: Any) -> dict:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(f"{prefix}{k}/", v))
+    else:
+        out[prefix[:-1]] = tree
+    return out

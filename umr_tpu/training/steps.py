@@ -1,0 +1,481 @@
+"""Jitted train steps for stage 1 and stage 2.
+
+The reference runs forward/backward across a zoo of DataParallel-wrapped
+modules (ref: train_s2.py:128-164) with CPU round-trips for rotate_cam and
+the EDT; here each stage is ONE pure function — model forward, every render
+loss, the GAN view rotation, and the optimizer update — jitted and
+shard_map-able over a device mesh (see parallel/).
+
+Optimizer parity: single Adam(beta1=0.9) over model+discriminator params
+with lr = base/(1 + 5e-4 * iter) (ref: train_utils.py:172-194). mean_v is a
+buffer, not a parameter, so it is carried in state.template and never
+touched by the optimizer (updated explicitly by the stage-1 template update).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import Config
+from ..losses import (
+    bce_with_logits,
+    corr_loss_chamfer,
+    deform_l2reg,
+    flatten_loss,
+    laplacian_loss,
+    multi_mask_loss,
+    multi_texture_loss,
+    neg_iou_loss,
+    sym_reg,
+    tex_cycle_loss,
+    texture_dt_loss,
+)
+from ..losses.losses import cam_diversity_loss
+from ..losses.composite import PartMatchingLoss, gan_loss
+from ..models import Discriminator, LPIPSAlex, MeshNet, MeshNetS1
+from ..models.mesh_net import symmetrize
+from ..ops.grid_sample import sample_textures
+from ..ops.quaternion import rotate_cam
+from ..renderer import SoftRenderer
+
+stop = jax.lax.stop_gradient
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any                # {'model': ..., 'disc': ... (optional)}
+    batch_stats: Any
+    buffers: Any               # constant buffers (cam_biases)
+    template: Any              # {'mean_v': [num_output, 3]}
+    opt_state: Any
+    lpips: Any = None          # frozen LPIPS params (not optimized)
+
+
+def lr_schedule(base_lr):
+    def fn(step):
+        return base_lr / (1.0 + 5e-4 * step)
+    return fn
+
+
+def make_optimizer(cfg: Config):
+    if cfg.use_sgd:
+        return optax.sgd(lr_schedule(cfg.learning_rate), momentum=cfg.beta1)
+    return optax.adam(lr_schedule(cfg.learning_rate), b1=cfg.beta1, b2=0.999)
+
+
+def _renderers(cfg: Config):
+    common = dict(
+        image_size=cfg.image_size,
+        anti_aliasing=cfg.anti_aliasing,
+        face_chunk=cfg.face_chunk,
+        pixel_rows_per_block=cfg.pixel_rows_per_block,
+    )
+    renderer = SoftRenderer(render_type=cfg.renderer_type, **common)
+    tex_renderer = renderer.ambient_light_only()
+    hard_renderer = dataclasses.replace(
+        SoftRenderer(render_type="hard", **common)
+    )
+    return renderer, tex_renderer, hard_renderer
+
+
+def normalize_part_segs(part_prob, masks):
+    """SCOPS part maps -> per-channel mask-multiplied max-normalized maps.
+
+    part_prob: [B,H,W,C]; masks: [B,H,W] -> [B,C,H,W]
+    (ref: train_s2.py:187-192, done on device here).
+    """
+    p = part_prob.transpose(0, 3, 1, 2) * masks[:, None]
+    k = jnp.maximum(p.max(axis=(2, 3), keepdims=True), 1e-12)
+    return p / k
+
+
+# =========================================================================
+# Stage 2
+# =========================================================================
+
+def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
+                  part_vert_idx):
+    """Returns (model, disc, lpips, init_fn, step_fn).
+
+    part_vert_idx: list of 4 template-vertex index arrays (head, belly,
+    neck, back) from the avg_uv semantic template.
+    """
+    model = MeshNet(
+        template=template,
+        nz_feat=cfg.nz_feat,
+        z_dim=cfg.z_dim,
+        num_hypo_cams=cfg.num_hypo_cams,
+        az_ele_quat=cfg.az_ele_quat,
+        use_texture=cfg.use_texture,
+        pred_cam=cfg.pred_cam,
+        multiple_cam_hypo=cfg.multiple_cam_hypo,
+    )
+    disc = Discriminator(lambda_=cfg.grl_wt, in_dim=3, img_size=cfg.image_size)
+    lpips = LPIPSAlex()
+    renderer, tex_renderer, hard_renderer = _renderers(cfg)
+    dis_renderer = tex_renderer  # ambient-only (ref: train_s2.py:105-106)
+    faces = jnp.asarray(template.faces)
+    tx = make_optimizer(cfg)
+
+    def init_fn(rng, lpips_params=None, sample_batch=None):
+        H = cfg.image_size
+        img = jnp.zeros((2, H, H, 3)) if sample_batch is None else \
+            sample_batch["img"][:2]
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        mv = model.init({"params": k1, "sample": k2}, img, train=True)
+        dv = disc.init(k3, img)
+        if lpips_params is None:
+            lpips_params = lpips.init(k4, img, img)["params"]
+        params = {"model": mv["params"], "disc": dv["params"]}
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats={"model": mv.get("batch_stats", {})},
+            buffers=mv.get("buffers", {}),
+            template=mv["template"],
+            opt_state=tx.init(params),
+            lpips=lpips_params,
+        )
+        return state
+
+    def forward_model(params, batch_stats, buffers, template_c, img, rng,
+                      train):
+        variables = {
+            "params": params,
+            "batch_stats": batch_stats,
+            "buffers": buffers,
+            "template": template_c,
+        }
+        if train:
+            out, mut = model.apply(
+                variables, img, train=True, rngs={"sample": rng},
+                mutable=["batch_stats"],
+            )
+            return out, mut["batch_stats"]
+        out = model.apply(variables, img, train=False, rngs={"sample": rng})
+        return out, batch_stats
+
+    def loss_fn(params, state: TrainState, batch, rng, train=True):
+        k_sample, k_gan = jax.random.split(rng)
+        outputs, new_bs = forward_model(
+            params["model"], state.batch_stats["model"], state.buffers,
+            state.template, batch["input_img"], k_sample, train,
+        )
+        imgs = batch["img"]
+        masks = batch["mask"]
+        B = imgs.shape[0]
+
+        mean_shape = symmetrize(state.template["mean_v"], template)
+        delta_v = symmetrize(outputs["delta_v"], template)
+        pred_vs = mean_shape[None] + delta_v
+
+        proj_cam = stop(outputs["cam"])
+        cams_all = outputs["cam_hypotheses"]
+        cam_probs = outputs["cam_probs"]
+
+        sc = {}
+        sc["cam_div_loss"] = cam_diversity_loss(cam_probs)
+
+        mask_loss, mask_all_hypo = multi_mask_loss(
+            renderer, pred_vs, faces, cams_all, cam_probs, masks
+        )
+        sc["mask_loss"] = mask_loss
+        sc["tri_loss"] = laplacian_loss(
+            pred_vs, jnp.asarray(template.laplacian)
+        ).mean()
+        sc["flatten_loss"] = flatten_loss(
+            pred_vs, jnp.asarray(template.flatten_idx)
+        ).mean()
+        sc["deform_loss"] = deform_l2reg(outputs["delta_v"])
+
+        total = (
+            sc["mask_loss"] * cfg.mask_loss_wt
+            + sc["tri_loss"] * cfg.triangle_reg_wt
+            + sc["flatten_loss"] * cfg.flatten_reg_wt
+            + sc["deform_loss"] * cfg.deform_reg_wt
+            + sc["cam_div_loss"] * cfg.ent_loss_wt
+        )
+
+        tex = None
+        if cfg.use_texture:
+            tex_flow = outputs["tex_flow"]
+            tex = sample_textures(tex_flow, imgs)       # [B,F,T,T,3]
+            T = tex.shape[2]
+            tex = tex.reshape(B, tex.shape[1], T * T, 3)
+
+            def lpips_fn(a, b):
+                return lpips.apply({"params": state.lpips}, a, b)
+
+            tex_loss, dt_loss, cycle, _tex_pred = multi_texture_loss(
+                tex_renderer, hard_renderer, lpips_fn,
+                pred_vs, faces, stop(cams_all), stop(cam_probs), proj_cam,
+                imgs, masks, mask_all_hypo, tex, tex_flow,
+                batch["dts_barrier"],
+            )
+            sc["tex_loss"] = tex_loss
+            sc["tex_dt_loss"] = dt_loss
+            sc["tex_cycle_loss"] = cycle
+            total = (
+                total
+                + tex_loss * cfg.tex_loss_wt
+                + dt_loss * cfg.tex_dt_loss_wt
+                + cycle * cfg.tex_cycle_loss_wt
+            )
+
+        if cfg.use_gan:
+            angles = jax.random.randint(k_gan, (B,), 0, 180)
+            random_cams = rotate_cam(proj_cam, angles)
+            unseen = dis_renderer.render(
+                pred_vs, faces, random_cams, stop(tex)
+            ).rgba[..., :3]
+            real = batch["real_imgs"]
+
+            def disc_apply(x):
+                return disc.apply({"params": params["disc"]}, x)
+
+            g_loss, g_acc = gan_loss(disc_apply, real, unseen)
+            sc["gan_loss"] = g_loss
+            sc["acc_gan"] = g_acc
+            total = total + g_loss * cfg.gan_loss_wt
+
+        # semantic correspondence
+        part_segs = normalize_part_segs(batch["part_prob"], masks)
+        p_loss, _projs = part_loss(pred_vs, faces, proj_cam, part_segs)
+        sc["part_loss"] = p_loss * cfg.prob_loss_wt
+        total = total + p_loss * cfg.prob_loss_wt
+
+        K = cfg.num_hypo_cams
+        mean_rep = jnp.repeat(
+            jnp.broadcast_to(mean_shape[None], (B,) + mean_shape.shape), K,
+            axis=0,
+        )
+        pts = [
+            jnp.repeat(batch[k], K, axis=0)
+            for k in ("head_points", "belly_points", "neck_points",
+                      "back_points")
+        ]
+        corr, _ = corr_loss_chamfer(
+            renderer.project_points, part_vert_idx, pts, mean_rep,
+            cams_all.reshape(B * K, 7), avg=False,
+        )
+        corr = (corr.reshape(B, K) * stop(cam_probs)).sum(1).mean()
+        sc["corr_loss"] = corr
+        total = total + corr * cfg.vertex_loss_wt
+
+        sc["total_loss"] = total
+        return total, (sc, new_bs)
+
+    @jax.jit
+    def step_fn(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (sc, new_bs)), grads = grad_fn(
+            state.params, state, batch, rng, True
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats={"model": new_bs},
+            opt_state=new_opt,
+        )
+        return new_state, sc
+
+    return model, disc, lpips, init_fn, step_fn
+
+
+# =========================================================================
+# Stage 1
+# =========================================================================
+
+def build_s1_step(cfg: Config, template):
+    """Returns (model, disc, lpips, init_fn, step_fn).
+
+    step_fn(state, batch, rng, epoch) — epoch gates the orientation reg
+    (< stop_ori_epoch) and the deform reg (> update_template_freq), as in
+    the reference (ref: train_s1.py:249-255).
+    """
+    model = MeshNetS1(
+        template=template, nz_feat=cfg.nz_feat, z_dim=cfg.z_dim,
+        use_texture=cfg.use_texture, pred_cam=cfg.pred_cam,
+    )
+    disc = Discriminator(lambda_=cfg.grl_wt, in_dim=1,
+                         img_size=cfg.image_size)
+    lpips = LPIPSAlex()
+    renderer, tex_renderer, hard_renderer = _renderers(cfg)
+    faces = jnp.asarray(template.faces)
+    tx = make_optimizer(cfg)
+
+    def init_fn(rng, lpips_params=None, sample_batch=None):
+        H = cfg.image_size
+        img = jnp.zeros((2, H, H, 3)) if sample_batch is None else \
+            sample_batch["img"][:2]
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        mv = model.init({"params": k1, "sample": k2}, img, train=True)
+        dv = disc.init(k3, img[..., :1])
+        if lpips_params is None:
+            lpips_params = lpips.init(k4, img, img)["params"]
+        params = {"model": mv["params"], "disc": dv["params"]}
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats={"model": mv.get("batch_stats", {})},
+            buffers=mv.get("buffers", {}),
+            template=mv["template"],
+            opt_state=tx.init(params),
+            lpips=lpips_params,
+        )
+
+    def loss_fn(params, state: TrainState, batch, rng, epoch, train=True):
+        k_sample, k_gan = jax.random.split(rng)
+        variables = {
+            "params": params["model"],
+            "batch_stats": state.batch_stats["model"],
+            "template": state.template,
+        }
+        outputs, mut = model.apply(
+            variables, batch["input_img"], train=train,
+            rngs={"sample": k_sample}, mutable=["batch_stats"],
+        )
+        new_bs = mut.get("batch_stats", state.batch_stats["model"])
+        imgs = batch["img"]
+        masks = batch["mask"]
+        B = imgs.shape[0]
+
+        mean_shape = symmetrize(state.template["mean_v"], template)
+        delta_v = symmetrize(outputs["delta_v"], template)
+        pred_vs = mean_shape[None] + delta_v
+        proj_cam = outputs["cam"]
+
+        sc = {}
+        seen = renderer.render(pred_vs, faces, proj_cam)
+        mask_pred_seen = seen.rgba[..., 3]
+        sc["mask_loss"] = neg_iou_loss(mask_pred_seen, masks)
+        sc["tri_loss"] = laplacian_loss(
+            pred_vs, jnp.asarray(template.laplacian)
+        ).mean()
+        sc["flatten_loss"] = flatten_loss(
+            pred_vs, jnp.asarray(template.flatten_idx)
+        ).mean()
+        sc["deform_loss"] = deform_l2reg(outputs["delta_v"])
+        sc["ori_loss"] = sym_reg(pred_vs)
+
+        total = (
+            sc["mask_loss"] * cfg.mask_loss_wt
+            + sc["tri_loss"] * cfg.triangle_reg_wt
+            + sc["flatten_loss"] * cfg.flatten_reg_wt
+        )
+        # epoch-gated regularizers (ref: train_s1.py:249-255)
+        total = total + jnp.where(
+            epoch < cfg.stop_ori_epoch, sc["ori_loss"] * cfg.ori_reg_wt, 0.0
+        )
+        total = total + jnp.where(
+            epoch > cfg.update_template_freq,
+            sc["deform_loss"] * cfg.deform_reg_wt, 0.0,
+        )
+
+        if cfg.use_texture:
+            tex_flow = outputs["tex_flow"]
+            tex = sample_textures(tex_flow, imgs)
+            T = tex.shape[2]
+            tex = tex.reshape(B, tex.shape[1], T * T, 3)
+            tex_out = tex_renderer.render(
+                stop(pred_vs), faces, stop(proj_cam), tex
+            )
+            texture_pred = tex_out.rgba[..., :3]
+            a = 2 * (texture_pred * mask_pred_seen[..., None]) - 1
+            b = 2 * (imgs * masks[..., None]) - 1
+            sc["tex_loss"] = lpips.apply(
+                {"params": state.lpips}, a, b
+            ).mean()
+            sc["tex_dt_loss"] = texture_dt_loss(
+                tex_flow, batch["dts_barrier"]
+            )
+            hard_out = hard_renderer.render(
+                stop(pred_vs), faces, stop(proj_cam)
+            )
+            face_ids = hard_out.aggr[:, 1].reshape(B, -1)
+            cycle, _ = tex_cycle_loss(
+                tex_flow, stop(tex_out.p2f), stop(face_ids)
+            )
+            sc["tex_cycle_loss"] = cycle
+            total = (
+                total
+                + sc["tex_loss"] * cfg.tex_loss_wt
+                + sc["tex_dt_loss"] * cfg.tex_dt_loss_wt
+                + cycle * cfg.tex_cycle_loss_wt
+            )
+
+        if cfg.use_gan:
+            angles = jax.random.randint(k_gan, (B,), 0, 180)
+            random_cams = rotate_cam(stop(proj_cam), angles)
+            unseen = renderer.render(pred_vs, faces, random_cams)
+            mask_unseen = unseen.rgba[..., 3]
+
+            def disc_apply(x):
+                return disc.apply({"params": params["disc"]}, x)
+
+            g_loss, g_acc = gan_loss(
+                disc_apply,
+                stop(mask_pred_seen)[..., None],
+                mask_unseen[..., None],
+            )
+            sc["gan_loss"] = g_loss
+            sc["acc_gan"] = g_acc
+            total = total + g_loss * cfg.gan_loss_wt
+
+        sc["total_loss"] = total
+        return total, (sc, new_bs)
+
+    @partial(jax.jit, static_argnames=())
+    def step_fn(state: TrainState, batch, rng, epoch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (sc, new_bs)), grads = grad_fn(
+            state.params, state, batch, rng, epoch, True
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats={"model": new_bs},
+            opt_state=new_opt,
+        ), sc
+
+    def encode_feat_fn(state: TrainState, batch, rng):
+        """Mean VAE feature over a batch (for the template update,
+        ref: train_s1.py:386-400)."""
+        variables = {
+            "params": state.params["model"],
+            "batch_stats": state.batch_stats["model"],
+            "template": state.template,
+        }
+        out = model.apply(
+            variables, batch["input_img"], train=False,
+            rngs={"sample": rng},
+        )
+        return out["feat"]
+
+    def template_update_fn(state: TrainState, feat_mean):
+        """mean_v += shape_predictor(feat_mean) (ref: train_s1.py:401-411)."""
+        variables = {
+            "params": state.params["model"],
+            "batch_stats": state.batch_stats["model"],
+            "template": state.template,
+        }
+        delta_v = model.apply(
+            variables, feat_mean[None],
+            method=lambda m, f: m.shape_predictor(f),
+        )
+        new_mean_v = state.template["mean_v"] + delta_v[0]
+        return state.replace(template={"mean_v": new_mean_v})
+
+    return (model, disc, lpips, init_fn, step_fn, jax.jit(encode_feat_fn),
+            jax.jit(template_update_fn))

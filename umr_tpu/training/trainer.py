@@ -1,0 +1,136 @@
+"""Training harness: epoch loop, device transfer, logging, checkpoints.
+
+Mirrors the reference Trainer template (ref: nnutils/train_utils.py:86-259):
+same cadences (print_freq, save_latest_freq, save_epoch_freq, display_freq),
+same scalar names (including iter_time), same checkpoint naming. The
+per-batch host work is only normalization + device_put — the EDT barrier is
+computed in loader workers, rotate_cam/part normalization run on device.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..parallel import make_mesh, replicate, shard_batch
+from ..utils.visualizer import Visualizer, green
+from . import checkpoints
+
+RESNET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+RESNET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def prepare_batch(batch, use_scops=True, use_texture=True):
+    """Host batch dict -> device-ready dict (ref set_input,
+    train_s2.py:166-199)."""
+    imgs = batch["img"].astype(np.float32)
+    out = {
+        "img": imgs,
+        "input_img": (imgs - RESNET_MEAN) / RESNET_STD,
+        "mask": batch["mask"].astype(np.float32),
+        "real_imgs": imgs * batch["mask"][..., None].astype(np.float32),
+    }
+    if use_texture and "dts_barrier" in batch:
+        out["dts_barrier"] = batch["dts_barrier"].astype(np.float32)
+    if use_scops and "part_prob" in batch:
+        out["part_prob"] = batch["part_prob"].astype(np.float32)
+        for k in ("head_points", "belly_points", "neck_points",
+                  "back_points"):
+            out[k] = batch[k].astype(np.float32)
+    return out
+
+
+class Trainer:
+    """Generic epoch loop shared by the s1/s2 entry points."""
+
+    def __init__(self, cfg: Config, step_fn, state, dataloader,
+                 extra_step_args=None, on_epoch_end=None,
+                 save_extra=None):
+        self.cfg = cfg
+        self.step_fn = step_fn
+        self.state = state
+        self.dataloader = dataloader
+        self.extra_step_args = extra_step_args or (lambda epoch: ())
+        self.on_epoch_end = on_epoch_end
+        self.save_dir = os.path.join(cfg.checkpoint_dir, cfg.name)
+        os.makedirs(self.save_dir, exist_ok=True)
+        self._dump_opts()
+        self.mesh = make_mesh() if cfg.data_parallel else None
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
+
+    def _dump_opts(self):
+        with open(os.path.join(self.save_dir, "opts.log"), "w") as f:
+            for k, v in sorted(vars(self.cfg).items()):
+                f.write(f"{k}: {v}\n")
+
+    def save(self, label):
+        checkpoints.save_state(self.save_dir, "pred", self.state)
+        checkpoints.save_pth(
+            os.path.join(self.save_dir, f"pred_net_{label}.pth"),
+            jax.device_get(self.state.params["model"]),
+            jax.device_get(self.state.template),
+        )
+
+    def train(self):
+        cfg = self.cfg
+        visualizer = Visualizer(cfg)
+        rng = jax.random.key(cfg.seed)
+        total_steps = 0
+        smoothed = 0.0
+        iter_time = 0.0
+
+        for epoch in range(cfg.num_pretrain_epochs, cfg.num_epochs):
+            epoch_iter = 0
+            for batch in self.dataloader:
+                rng, step_key = jax.random.split(rng)
+                db = prepare_batch(batch, cfg.use_scops, cfg.use_texture)
+                if self.mesh is not None:
+                    db = shard_batch(db, self.mesh)
+                else:
+                    db = jax.tree.map(jnp.asarray, db)
+
+                start = time.time()
+                self.state, scalars = self.step_fn(
+                    self.state, db, step_key, *self.extra_step_args(epoch)
+                )
+                total = float(scalars["total_loss"])  # sync point
+                iter_time = time.time() - start
+                smoothed = smoothed * 0.99 + 0.01 * total
+
+                total_steps += 1
+                epoch_iter += 1
+
+                if cfg.print_scalars and total_steps % cfg.print_freq == 0:
+                    sc = {
+                        "smoothed_total_loss": smoothed,
+                        **{k: float(v) for k, v in scalars.items()},
+                        "iter_time": iter_time,
+                    }
+                    visualizer.print_current_scalars(epoch, epoch_iter, sc)
+
+                if total_steps % cfg.save_latest_freq == 0:
+                    print(green(
+                        f"saving the model at epoch {epoch}, "
+                        f"iters {total_steps}"
+                    ))
+                    self.save("latest")
+
+                if total_steps == cfg.num_iter:
+                    self.save("latest")
+                    return self.state
+
+            if self.on_epoch_end is not None:
+                self.state = self.on_epoch_end(self.state, epoch) or self.state
+
+            if (epoch + 1) % cfg.save_epoch_freq == 0:
+                self.save("latest")
+                self.save(epoch + 1)
+
+        self.save("latest")
+        return self.state
