@@ -222,3 +222,100 @@ def golden_soft_rasterize(
 
     p2f = p2f_info / np.maximum(p2f_sum[..., None], 1e-12)
     return rgba, p2f, aggr
+
+
+def golden_soft_rasterize_backward(
+    faces, textures, soft_colors, aggrs, grad_soft_colors,
+    image_size=16, near=1.0, far=100.0, eps=1e-3, sigma_val=1e-5,
+    dist_func="euclidean", dist_eps=1e-4, gamma_val=1e-4,
+    aggr_func_rgb="softmax", aggr_func_alpha="prod",
+    texture_type="surface", double_side=True,
+):
+    """Literal numpy port of backward_soft_rasterize_cuda_kernel
+    (soft_rasterize_cuda_kernel.cu:479-656). soft_colors/grad: [B,H,W,4]
+    channel-last; aggrs: [B,2,H,W]."""
+    B, F = faces.shape[:2]
+    S = image_size
+    R = int(np.sqrt(textures.shape[2])) if texture_type == "surface" else 0
+    thr = np.log(1.0 / dist_eps - 1.0) * sigma_val
+    grad_faces = np.zeros_like(faces)
+    grad_textures = np.zeros_like(textures)
+
+    for b in range(B):
+        infos = [_face_info(faces[b, f]) for f in range(F)]
+        for row in range(S):
+            for col in range(S):
+                xp = (2 * col + 1 - S) / S
+                yp = (2 * (S - 1 - row) + 1 - S) / S
+                softmax_sum = aggrs[b, 0, row, col]
+                softmax_max = aggrs[b, 1, row, col]
+                for f in range(F):
+                    face = faces[b, f]
+                    inv, sym, obt = infos[f]
+                    fx, fy = face[:, 0], face[:, 1]
+                    if (xp > fx.max() + np.sqrt(thr)
+                            or xp < fx.min() - np.sqrt(thr)
+                            or yp > fy.max() + np.sqrt(thr)
+                            or yp < fy.min() - np.sqrt(thr)):
+                        continue
+                    w = inv @ np.array([xp, yp, 1.0])
+                    if dist_func == "euclidean":
+                        sign, dx, dy, tt = _euclidean(w, face, sym, obt, xp, yp)
+                        dis = dx * dx + dy * dy
+                        if sign < 0 and dis >= thr:
+                            continue
+                        xarg = np.clip(sign * dis / sigma_val, -500, 500)
+                        frag = 1.0 / (1.0 + np.exp(-xarg))
+                    else:
+                        raise NotImplementedError
+                    grad_v = np.zeros((3, 3))
+                    C_grad_xy = 0.0
+                    # alpha (prod)
+                    C_alpha = grad_soft_colors[b, row, col, 3]
+                    C_alpha *= (1 - soft_colors[b, row, col, 3]) / max(
+                        1 - frag, 1e-6
+                    )
+                    C_grad_xy += C_alpha
+
+                    w0 = w.copy()
+                    wc = np.clip(w, 1e-5, 1 - 1e-5)
+                    wc = wc / max(wc.sum(), 1e-5)
+                    zp = 1.0 / (wc[0] / face[0, 2] + wc[1] / face[1, 2]
+                                + wc[2] / face[2, 2])
+                    if zp < near or zp > far:
+                        continue
+                    frontside = (
+                        (fy[2] - fy[0]) * (fx[1] - fx[0])
+                        < (fy[1] - fy[0]) * (fx[2] - fx[0])
+                    )
+                    if aggr_func_rgb == "softmax" and (frontside or double_side):
+                        C_rgb = 0.0
+                        z_norm = (far - zp) / (far - near)
+                        zps = frag * np.exp(
+                            (z_norm - softmax_max) / gamma_val
+                        ) / softmax_sum
+                        for k in range(3):
+                            gk = grad_soft_colors[b, row, col, k]
+                            # texture grad
+                            w_x = int(wc[0] * R)
+                            w_y = int(wc[1] * R)
+                            if (wc[0] + wc[1]) * R - w_x - w_y <= 1:
+                                ti = w_y * R + w_x
+                            else:
+                                ti = (R - 1 - w_y) * R + (R - 1 - w_x)
+                            grad_textures[b, f, ti, k] += zps * gk
+                            color_k = textures[b, f][ti, k]
+                            C_rgb += gk * (color_k - soft_colors[b, row, col, k])
+                        C_rgb *= zps
+                        C_grad_xy += C_rgb / max(frag, 1e-30)
+                        C_z = C_rgb / gamma_val / (near - far) * zp * zp
+                        grad_v[0][2] = C_z * wc[0] / face[0, 2] ** 2
+                        grad_v[1][2] = C_z * wc[1] / face[1, 2] ** 2
+                        grad_v[2][2] = C_z * wc[2] / face[2, 2] ** 2
+
+                    C_grad_xy *= frag * (1 - frag) / sigma_val
+                    for k in range(3):
+                        grad_v[k][0] += 2 * sign * C_grad_xy * (tt[k] + w0[k]) * dx
+                        grad_v[k][1] += 2 * sign * C_grad_xy * (tt[k] + w0[k]) * dy
+                    grad_faces[b, f] += grad_v
+    return grad_faces, grad_textures

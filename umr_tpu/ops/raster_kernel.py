@@ -1,0 +1,574 @@
+"""Pallas TPU kernel for the tile-binned soft rasterizer.
+
+This is the speed-of-light path for the training configuration
+(euclidean distance + softmax RGB + product alpha + surface textures),
+replacing the reference's CUDA kernels
+(ref: external/SoftRas/.../soft_rasterize_cuda_kernel.cu).
+
+Division of labor:
+  XLA  — face preprocessing (SoA planes), face->tile binning (one sort per
+         image), entry gathering, and the final entry->face segment-sums.
+  Pallas — per-(image, tile) shading: DMA the tile's contiguous entry slab
+         from HBM, loop over face groups of 8 with a *dynamic* trip count
+         (work is proportional to the tile's real face count — the
+         property the XLA-binned path loses to static padding), keep all
+         accumulators in registers/VMEM, write an 8-row output block
+         (r, g, b, alpha, softmax_sum, softmax_max[, depth, face_id]).
+
+The backward kernel implements the reference CUDA backward formulas
+(ref: ...cuda_kernel.cu:479-656) — sigmoid-distance gradients to vertices,
+softmax color gradients to vertices (incl. the depth term) and textures —
+writing per-entry gradients that XLA segment-sums per face (replacing the
+CUDA atomicAdd accumulation).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rasterize import RasterOut
+from .rasterize_binned import _bin_faces_one
+
+NP = 32          # face plane rows (see _plane_layout)
+GROUP = 8        # faces per inner-loop iteration
+
+# plane indices
+_PX = (0, 3, 6)       # x0, x1, x2
+_PY = (1, 4, 7)
+_PZ = (2, 5, 8)
+_PINV = 9             # inv00..inv22 -> 9..17
+_PSYM = 18            # sym00..sym22 -> 18..26
+_POBT = 27            # obt0..2 -> 27..29
+_PFRONT = 30
+
+
+def build_face_planes(face_vertices):
+    """[B, F, 3, 3] -> [B, F, NP] SoA planes (cf. rasterize_binned
+    _face_planes; entry-major layout so kernels DMA contiguous slabs)."""
+    p = face_vertices
+    B, F = p.shape[:2]
+    xs = [p[..., k, 0] for k in range(3)]
+    ys = [p[..., k, 1] for k in range(3)]
+    zs = [p[..., k, 2] for k in range(3)]
+    det = (xs[2] * (ys[0] - ys[1]) + xs[0] * (ys[1] - ys[2])
+           + xs[1] * (ys[2] - ys[0]))
+    det = jnp.where(det > 0, jnp.maximum(det, 1e-10),
+                    jnp.minimum(det, -1e-10))
+    star = [
+        ys[1] - ys[2], xs[2] - xs[1], xs[1] * ys[2] - xs[2] * ys[1],
+        ys[2] - ys[0], xs[0] - xs[2], xs[2] * ys[0] - xs[0] * ys[2],
+        ys[0] - ys[1], xs[1] - xs[0], xs[0] * ys[1] - xs[1] * ys[0],
+    ]
+    cols = [None] * NP
+    for k in range(3):
+        cols[_PX[k]] = xs[k]
+        cols[_PY[k]] = ys[k]
+        cols[_PZ[k]] = zs[k]
+    for i in range(9):
+        cols[_PINV + i] = star[i] / det
+    for i in range(3):
+        for j in range(3):
+            cols[_PSYM + 3 * i + j] = xs[i] * xs[j] + ys[i] * ys[j] + 1.0
+    for k in range(3):
+        k1, k2 = (k + 1) % 3, (k + 2) % 3
+        cols[_POBT + k] = (
+            ((xs[k1] - xs[k]) * (xs[k2] - xs[k])
+             + (ys[k1] - ys[k]) * (ys[k2] - ys[k])) < 0
+        ).astype(p.dtype)
+    cols[_PFRONT] = (
+        (ys[2] - ys[0]) * (xs[1] - xs[0]) < (ys[1] - ys[0]) * (xs[2] - xs[0])
+    ).astype(p.dtype)
+    cols[31] = jnp.zeros((B, F), p.dtype)
+    return jnp.stack(cols, axis=-1)  # [B, F, NP]
+
+
+class _Cfg(NamedTuple):
+    S: int
+    ts: int
+    TX: int
+    P: int
+    T2: int
+    near: float
+    far: float
+    eps: float
+    sigma: float
+    gamma: float
+    threshold: float
+    thr_margin: float
+    bg: tuple
+    bg_weight: float
+    double_side: bool
+    mf_cap: int
+    hard: bool
+
+
+def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
+    """Shared fwd/bwd per-group pair computation.
+
+    slab: [MF_CAP, NP] plane slab; g0: group offset; xp/yp: [1, P].
+    Returns dict of [GROUP, P] / [GROUP, 1] arrays.
+    """
+    def col(k):
+        return slab[pl.ds(g0, GROUP), k:k + 1]  # [G, 1]
+
+    x = [col(_PX[k]) for k in range(3)]
+    y = [col(_PY[k]) for k in range(3)]
+    z = [col(_PZ[k]) for k in range(3)]
+    inv = [col(_PINV + i) for i in range(9)]
+    sym = [col(_PSYM + i) for i in range(9)]
+    obt = [col(_POBT + k) for k in range(3)]
+    front = col(_PFRONT)
+
+    maxx = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
+    minx = jnp.minimum(jnp.minimum(x[0], x[1]), x[2])
+    maxy = jnp.maximum(jnp.maximum(y[0], y[1]), y[2])
+    miny = jnp.minimum(jnp.minimum(y[0], y[1]), y[2])
+    out_border = (
+        (xp > maxx + cfg.thr_margin) | (xp < minx - cfg.thr_margin)
+        | (yp > maxy + cfg.thr_margin) | (yp < miny - cfg.thr_margin)
+    )
+    valid = (~out_border) & vmask
+
+    w0 = inv[0] * xp + inv[1] * yp + inv[2]
+    w1 = inv[3] * xp + inv[4] * yp + inv[5]
+    w2 = inv[6] * xp + inv[7] * yp + inv[8]
+    ws = (w0, w1, w2)
+
+    # euclidean signed distance (ref ...cuda_kernel.cu:62-152), SoA
+    def edge(k):
+        v0, v1, v2 = k, (k + 1) % 3, (k + 2) % 3
+        a0 = [sym[3 * v0 + j] - sym[3 * v1 + j] for j in range(3)]
+        denom = a0[v0] - a0[v1]
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        tv0 = (w0 * a0[0] + w1 * a0[1] + w2 * a0[2] - a0[v1]) / denom
+        t = [None, None, None]
+        t[v0] = tv0
+        t[v1] = 1.0 - tv0
+        t[v2] = jnp.zeros_like(tv0)
+        tu = [t[j] - ws[j] for j in range(3)]
+        dxu = tu[0] * x[0] + tu[1] * x[1] + tu[2] * x[2]
+        dyu = tu[0] * y[0] + tu[1] * y[1] + tu[2] * y[2]
+        tc = [jnp.clip(t[j], 0.0, 1.0) - ws[j] for j in range(3)]
+        dxc = tc[0] * x[0] + tc[1] * x[1] + tc[2] * x[2]
+        dyc = tc[0] * y[0] + tc[1] * y[1] + tc[2] * y[2]
+        return tu, dxu, dyu, tc, dxc, dyc
+
+    tu0, dxu0, dyu0, tc0, dxc0, dyc0 = edge(0)
+    tu1, dxu1, dyu1, tc1, dxc1, dyc1 = edge(1)
+    tu2, dxu2, dyu2, tc2, dxc2, dyc2 = edge(2)
+    du0 = dxu0 * dxu0 + dyu0 * dyu0
+    du1 = dxu1 * dxu1 + dyu1 * dyu1
+    du2 = dxu2 * dxu2 + dyu2 * dyu2
+
+    k01 = jnp.where(du1 < du0, 1, 0)
+    d01 = jnp.minimum(du0, du1)
+    k_in = jnp.where(du2 < d01, 2, k01)
+
+    def pick3(k, a, b, c):
+        return jnp.where(k == 0, a, jnp.where(k == 1, b, c))
+
+    n0, n1, n2 = w0 <= 0, w1 <= 0, w2 <= 0
+
+    def corner_dot(k, kk):
+        return ((xp - x[k]) * (x[kk] - x[k]) + (yp - y[k]) * (y[kk] - y[k]))
+
+    vA = jnp.where((obt[0] > 0) & (corner_dot(0, 2) > 0), 2, 0)
+    vB = jnp.where((obt[1] > 0) & (corner_dot(1, 0) > 0), 0, 1)
+    vC = jnp.where((obt[2] > 0) & (corner_dot(2, 1) > 0), 1, 2)
+    caseA = n1 & n2
+    caseB = n2 & n0 & ~caseA
+    caseC = n0 & n1 & ~caseA & ~caseB
+    v0sel = jnp.where(n0, 1, jnp.where(n1, 2, 0))
+    v0 = jnp.where(caseA, vA,
+                   jnp.where(caseB, vB, jnp.where(caseC, vC, v0sel)))
+
+    inside = ((w0 > 0) & (w1 > 0) & (w2 > 0)
+              & (w0 < 1) & (w1 < 1) & (w2 < 1))
+    sign = jnp.where(inside, 1.0, -1.0)
+    dis_x = jnp.where(inside, pick3(k_in, dxu0, dxu1, dxu2),
+                      pick3(v0, dxc0, dxc1, dxc2))
+    dis_y = jnp.where(inside, pick3(k_in, dyu0, dyu1, dyu2),
+                      pick3(v0, dyc0, dyc1, dyc2))
+    t_sel = [
+        jnp.where(inside, pick3(k_in, tu0[j], tu1[j], tu2[j]),
+                  pick3(v0, tc0[j], tc1[j], tc2[j]))
+        for j in range(3)
+    ]
+    dis = dis_x * dis_x + dis_y * dis_y
+    valid &= ~((sign < 0) & (dis >= cfg.threshold))
+    frag = jax.nn.sigmoid(sign * dis / cfg.sigma) * valid
+
+    # clip + depth
+    w0c = jnp.clip(w0, 1e-5, 1.0 - 1e-5)
+    w1c = jnp.clip(w1, 1e-5, 1.0 - 1e-5)
+    w2c = jnp.clip(w2, 1e-5, 1.0 - 1e-5)
+    wsum = jnp.maximum(w0c + w1c + w2c, 1e-5)
+    w0c, w1c, w2c = w0c / wsum, w1c / wsum, w2c / wsum
+    zp = 1.0 / (w0c / z[0] + w1c / z[1] + w2c / z[2])
+    z_ok = (zp >= cfg.near) & (zp <= cfg.far)
+    front_ok = (front > 0) | cfg.double_side
+    rgb_valid = valid & z_ok & front_ok & (frag > 0)
+
+    # texel index (surface type, ref :180-195)
+    R = int(math.isqrt(cfg.T2))
+    w_x = jnp.floor(w0c * R).astype(jnp.int32)
+    w_y = jnp.floor(w1c * R).astype(jnp.int32)
+    low = (w0c + w1c) * R - w_x - w_y <= 1
+    tex_idx = jnp.where(low, w_y * R + w_x,
+                        (R - 1 - w_y) * R + (R - 1 - w_x))
+    tex_idx = jnp.clip(tex_idx, 0, cfg.T2 - 1)
+
+    return dict(
+        valid=valid, frag=frag, sign=sign, dis_x=dis_x, dis_y=dis_y,
+        t=t_sel, w=(w0, w1, w2), wc=(w0c, w1c, w2c), z=z, zp=zp,
+        rgb_valid=rgb_valid, tex_idx=tex_idx, inside=inside,
+    )
+
+
+def _tile_coords(t, cfg: _Cfg, dtype):
+    """Per-tile pixel NDC coords + p2f grid coords, [1, P] each."""
+    ts, TX, S = cfg.ts, cfg.TX, cfg.S
+    trow = t // TX
+    tcol = t % TX
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.P), 1)
+    col = tcol * ts + lane % ts
+    row = trow * ts + lane // ts
+    xp = (2.0 * col.astype(dtype) + 1.0 - S) / S
+    yp = (2.0 * (S - 1 - row).astype(dtype) + 1.0 - S) / S
+    gx = 2.0 * col.astype(dtype) / (S - 1) - 1.0
+    gy = 2.0 * row.astype(dtype) / (S - 1) - 1.0
+    return xp, yp, gx, gy
+
+
+def _fwd_kernel(starts_ref, data_hbm, out_ref, p2f_ref,
+                slab, p2f_scratch, sems, *, cfg: _Cfg):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    dtype = out_ref.dtype
+    start = pl.multiple_of(starts_ref[b, t], GROUP)
+    n = jnp.minimum(starts_ref[b, t + 1] - start, cfg.mf_cap)
+
+    xp, yp, gx, gy = _tile_coords(t, cfg, dtype)
+
+    @pl.when(n > 0)
+    def _():
+        cp1 = pltpu.make_async_copy(
+            data_hbm.at[b, pl.ds(start, cfg.mf_cap), :], slab, sems.at[0]
+        )
+        cp1.start()
+        cp1.wait()
+
+        def texcol(g0, c, tt):
+            off = NP + c * cfg.T2 + tt
+            return slab[pl.ds(g0, GROUP), off:off + 1]
+
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
+
+        def body(i, carry):
+            m, s, c0, c1, c2, la = carry
+            g0 = i * GROUP
+            vmask = (g0 + sub_iota) < n
+            pm = _pair_math(slab, g0, xp, yp, vmask, cfg)
+            frag = pm["frag"]
+
+            # alpha product in log space (Mosaic has no reduce_prod);
+            # log1p(-frag) = 0 for masked faces, -inf saturates correctly
+            la = la + jnp.sum(jnp.log1p(-frag), axis=0, keepdims=True)
+
+            z_norm = (cfg.far - pm["zp"]) / (cfg.far - cfg.near)
+            z_masked = jnp.where(pm["rgb_valid"], z_norm, -1e30)
+            gm = jnp.max(z_masked, axis=0, keepdims=True)
+            m_new = jnp.maximum(m, gm)
+            scale = jnp.exp((m - m_new) / cfg.gamma)
+            ez = jnp.exp((z_masked - m_new) / cfg.gamma)
+            contrib = ez * frag  # [G, P]
+
+            # texel colors via masked accumulation over T2 texels
+            colr = jnp.zeros_like(frag)
+            colg = jnp.zeros_like(frag)
+            colb = jnp.zeros_like(frag)
+            for tt in range(cfg.T2):
+                msel = (pm["tex_idx"] == tt).astype(dtype)
+                colr += msel * texcol(g0, 0, tt)
+                colg += msel * texcol(g0, 1, tt)
+                colb += msel * texcol(g0, 2, tt)
+
+            s = s * scale + jnp.sum(contrib, axis=0, keepdims=True)
+            c0 = c0 * scale + jnp.sum(contrib * colr, axis=0, keepdims=True)
+            c1 = c1 * scale + jnp.sum(contrib * colg, axis=0, keepdims=True)
+            c2 = c2 * scale + jnp.sum(contrib * colb, axis=0, keepdims=True)
+
+            # p2f partials for this group of entries
+            p2f_scratch[pl.ds(g0, GROUP), 0:1] = jnp.sum(
+                contrib * gx, axis=1, keepdims=True
+            )
+            p2f_scratch[pl.ds(g0, GROUP), 1:2] = jnp.sum(
+                contrib * gy, axis=1, keepdims=True
+            )
+            p2f_scratch[pl.ds(g0, GROUP), 2:3] = jnp.sum(
+                contrib, axis=1, keepdims=True
+            )
+            p2f_scratch[pl.ds(g0, GROUP), 3:4] = jnp.zeros(
+                (GROUP, 1), dtype
+            )
+            return m_new, s, c0, c1, c2, la
+
+        m0 = jnp.full((1, cfg.P), cfg.eps, dtype)
+        s0 = jnp.full((1, cfg.P), cfg.bg_weight, dtype)
+        c00 = jnp.full((1, cfg.P), cfg.bg[0] * cfg.bg_weight, dtype)
+        c10 = jnp.full((1, cfg.P), cfg.bg[1] * cfg.bg_weight, dtype)
+        c20 = jnp.full((1, cfg.P), cfg.bg[2] * cfg.bg_weight, dtype)
+        a0 = jnp.zeros((1, cfg.P), dtype)
+
+        n_groups = (n + GROUP - 1) // GROUP
+        m, s, c0, c1, c2, la = jax.lax.fori_loop(
+            0, n_groups, body, (m0, s0, c00, c10, c20, a0)
+        )
+
+        out_ref[0, 0] = jnp.concatenate(
+            [c0 / s, c1 / s, c2 / s, 1.0 - jnp.exp(la), s, m,
+             jnp.zeros((2, cfg.P), dtype)],
+            axis=0,
+        )
+        # per-entry p2f partials -> HBM
+        wr = pltpu.make_async_copy(
+            p2f_scratch.at[pl.ds(0, cfg.mf_cap), :],
+            p2f_ref.at[b, pl.ds(start, cfg.mf_cap), :],
+            sems.at[2],
+        )
+        wr.start()
+        wr.wait()
+
+    @pl.when(n <= 0)
+    def _():
+        bgrows = jnp.concatenate(
+            [
+                jnp.full((1, cfg.P), cfg.bg[0], dtype),
+                jnp.full((1, cfg.P), cfg.bg[1], dtype),
+                jnp.full((1, cfg.P), cfg.bg[2], dtype),
+                jnp.zeros((1, cfg.P), dtype),
+                jnp.full((1, cfg.P), cfg.bg_weight, dtype),
+                jnp.full((1, cfg.P), cfg.eps, dtype),
+                jnp.zeros((2, cfg.P), dtype),
+            ],
+            axis=0,
+        )
+        out_ref[0, 0] = bgrows
+
+
+def _run_fwd_kernel(entry_data, starts, cfg: _Cfg, B, E_pad, n_tiles):
+    dtype = entry_data.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 8, cfg.P), lambda b, t, s: (b, t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((cfg.mf_cap, 256), dtype),
+            pltpu.VMEM((cfg.mf_cap, 128), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    out, p2f_entry = pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg=cfg),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_tiles, 8, cfg.P), dtype),
+            jax.ShapeDtypeStruct((B, E_pad, 128), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, entry_data)
+    return out, p2f_entry
+
+
+def soft_rasterize_pallas(
+    face_vertices,
+    textures,
+    image_size=256,
+    background_color=(0.0, 0.0, 0.0),
+    near=1.0,
+    far=100.0,
+    eps=1e-3,
+    sigma_val=1e-5,
+    dist_eps=1e-10,
+    gamma_val=1e-4,
+    double_side=True,
+    tile_size=16,
+    max_cover=4,
+    mf_cap=128,
+):
+    """Training-config rasterizer (euclidean/softmax/prod/surface).
+
+    Same contract as rasterize.soft_rasterize. Gradients flow to
+    face_vertices and textures with the reference CUDA backward's
+    semantics (see module docstring).
+    """
+    return _pallas_raster_vjp(
+        face_vertices, textures,
+        int(image_size), tuple(background_color), float(near), float(far),
+        float(eps), float(sigma_val), float(dist_eps), float(gamma_val),
+        bool(double_side), int(tile_size), int(max_cover), int(mf_cap),
+    )
+
+
+def _make_cfg(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
+              ts, T2, mf_cap, hard=False):
+    thr = float(np.log(1.0 / dist_eps - 1.0)) * sigma
+    return _Cfg(
+        S=S, ts=ts, TX=S // ts, P=ts * ts, T2=T2, near=near, far=far,
+        eps=eps, sigma=sigma, gamma=gamma, threshold=thr,
+        thr_margin=math.sqrt(thr), bg=tuple(bgc) + (0.0,) * (3 - len(bgc)),
+        bg_weight=float(np.exp(eps / gamma)), double_side=double_side,
+        mf_cap=mf_cap, hard=hard,
+    )
+
+
+def _prepare(face_vertices, textures, cfg: _Cfg, max_cover):
+    """Binning + entry gathering (shared by fwd and bwd)."""
+    B, F = face_vertices.shape[:2]
+    planes = build_face_planes(face_vertices)  # [B, F, NP]
+    face_valid = jnp.ones((F,), bool)
+
+    def bin_one(fp):
+        return _bin_faces_one(
+            fp[:, [_PX[0], _PX[1], _PX[2]]],
+            fp[:, [_PY[0], _PY[1], _PY[2]]],
+            face_valid, cfg.S, cfg.ts, cfg.thr_margin, max_cover,
+        )
+
+    sorted_fids, sorted_keys, starts = jax.vmap(bin_one)(planes)
+    E = sorted_fids.shape[1]
+    n_tiles_b = cfg.TX * cfg.TX
+
+    # ---- 8-aligned per-tile entry layout ------------------------------
+    # DMA offsets must be provably divisible by the sublane tiling (8), so
+    # each tile's entry range starts at a multiple of GROUP. Padding slots
+    # reference a dummy offscreen face (row F of the extended data) that
+    # every cull rejects.
+    counts = jnp.minimum(starts[:, 1:] - starts[:, :-1], cfg.mf_cap)
+    padded = ((counts + GROUP - 1) // GROUP) * GROUP
+    astarts = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(padded, axis=1)], axis=1
+    ).astype(jnp.int32)
+    E_al = E + GROUP * n_tiles_b          # static upper bound
+    E_pad = E_al + cfg.mf_cap             # so ds(start, mf_cap) fits
+
+    key_clip = jnp.minimum(sorted_keys, n_tiles_b)
+    starts_ext = jnp.concatenate([starts, starts[:, -1:]], axis=1)
+    astarts_ext = jnp.concatenate([astarts, astarts[:, -1:]], axis=1)
+    rank = (
+        jnp.arange(E, dtype=jnp.int32)[None, :]
+        - jnp.take_along_axis(starts_ext, key_clip, axis=1)
+    )
+    entry_ok = (sorted_keys < n_tiles_b) & (rank < cfg.mf_cap)
+    position = jnp.take_along_axis(astarts_ext, key_clip, axis=1) + rank
+    position = jnp.where(entry_ok, position, E_al)  # dump slot
+
+    def scatter_fids(pos, fids):
+        return jnp.full((E_al + 1,), F, jnp.int32).at[pos].set(fids)[:E_al]
+
+    al_fids = jax.vmap(scatter_fids)(position, sorted_fids)
+
+    dummy = jnp.zeros((B, 1, NP), planes.dtype)
+    dummy = dummy.at[:, 0, _PX[0]].set(10.0).at[:, 0, _PX[1]].set(10.1) \
+        .at[:, 0, _PX[2]].set(10.0).at[:, 0, _PY[0]].set(10.0) \
+        .at[:, 0, _PY[1]].set(10.0).at[:, 0, _PY[2]].set(10.1) \
+        .at[:, 0, _PZ[0]].set(5.0).at[:, 0, _PZ[1]].set(5.0) \
+        .at[:, 0, _PZ[2]].set(5.0)
+    planes_ext = jnp.concatenate([planes, dummy], axis=1)
+    tex_ext = jnp.concatenate(
+        [textures, jnp.zeros_like(textures[:, :1])], axis=1
+    )
+
+    def gather_one(fp, tex, fids):
+        # one 256-lane entry row: [planes (NP) | texels (3*T2) | pad]
+        ep = fp[fids]  # [E_al, NP]
+        et = jnp.concatenate([tex[fids, :, c] for c in range(3)], axis=-1)
+        pad = jnp.zeros((ep.shape[0], 256 - NP - et.shape[-1]), et.dtype)
+        return jnp.concatenate([ep, et, pad], axis=-1)
+
+    entry_data = jax.vmap(gather_one)(planes_ext, tex_ext, al_fids)
+    zp = jnp.zeros((B, cfg.mf_cap, 256), entry_data.dtype)
+    entry_data = jnp.concatenate([entry_data, zp], axis=1)
+    return (planes, al_fids, astarts, entry_data, E_al, E_pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 14)))
+def _pallas_raster_vjp(face_vertices, textures, S, bgc, near, far, eps,
+                       sigma, dist_eps, gamma, double_side, ts, max_cover,
+                       mf_cap):
+    out, _res = _pallas_fwd(
+        face_vertices, textures, S, bgc, near, far, eps, sigma, dist_eps,
+        gamma, double_side, ts, max_cover, mf_cap,
+    )
+    return out
+
+
+def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
+                dist_eps, gamma, double_side, ts, max_cover, mf_cap):
+    B, F = face_vertices.shape[:2]
+    T2 = textures.shape[2]
+    cfg = _make_cfg(S, bgc, near, far, eps, sigma, dist_eps, gamma,
+                    double_side, ts, T2, mf_cap)
+    n_tiles = cfg.TX * cfg.TX
+
+    (planes, al_fids, astarts, entry_data, E_al, E_pad
+     ) = _prepare(face_vertices, textures, cfg, max_cover)
+
+    out, p2f_entry = _run_fwd_kernel(
+        entry_data, astarts, cfg, B, E_pad, n_tiles
+    )
+
+    # untile: [B, n_tiles, 8, P] -> images
+    TX, P = cfg.TX, cfg.P
+    tiles = out.reshape(B, TX, TX, 8, ts, ts)
+    img = tiles.transpose(0, 3, 1, 4, 2, 5).reshape(B, 8, S, S)
+    rgba = img[:, 0:4].transpose(0, 2, 3, 1)
+    aggr = img[:, 4:6]
+
+    # p2f: segment-sum per face (padding slots carry the dummy face id F,
+    # which lands in the dropped row)
+    def seg(p2f_e, fid):
+        return jnp.zeros((F + 1, 3), p2f_e.dtype).at[fid].add(
+            p2f_e[:E_al, :3]
+        )[:F]
+
+    p2f_sums = jax.vmap(seg)(p2f_entry, al_fids)
+    p2f = p2f_sums[..., :2] / jnp.maximum(p2f_sums[..., 2:3], 1e-12)
+
+    res = (face_vertices, textures, rgba, aggr)
+    return RasterOut(rgba=rgba, p2f=p2f, aggr=aggr), res
+
+
+def _pallas_bwd(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
+                ts, max_cover, mf_cap, res, grads):
+    from .raster_kernel_bwd import run_backward
+
+    face_vertices, textures, rgba, aggr = res
+    g_rgba = grads.rgba
+    return run_backward(
+        face_vertices, textures, rgba, aggr, g_rgba,
+        S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side, ts,
+        max_cover, mf_cap,
+    )
+
+
+def _fwd_rule(face_vertices, textures, *nd):
+    out, res = _pallas_fwd(face_vertices, textures, *nd)
+    return out, res
+
+
+_pallas_raster_vjp.defvjp(_fwd_rule, _pallas_bwd)

@@ -80,7 +80,7 @@ def _bin_faces_one(face_x, face_y, face_valid, S, ts, margin, max_cover):
     starts = jnp.searchsorted(
         sorted_keys, jnp.arange(n_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
-    return sorted_fids, starts
+    return sorted_fids, sorted_keys, starts
 
 
 def _index_table(sorted_fids, starts, n_tiles, max_f):
@@ -305,7 +305,7 @@ def soft_rasterize_binned(
 
     def render_one(args):
         fp_img, tex_img = args
-        sorted_fids, starts = _bin_faces_one(
+        sorted_fids, _sorted_keys, starts = _bin_faces_one(
             jnp.stack([fp_img[f"x{k}"] for k in range(3)], -1),
             jnp.stack([fp_img[f"y{k}"] for k in range(3)], -1),
             face_valid, S, ts, thr_margin, max_cover,
