@@ -48,6 +48,7 @@ _PINV = 9             # inv00..inv22 -> 9..17
 _PSYM = 18            # sym00..sym22 -> 18..26
 _POBT = 27            # obt0..2 -> 27..29
 _PFRONT = 30
+_PFID = 31
 
 
 def build_face_planes(face_vertices):
@@ -86,7 +87,10 @@ def build_face_planes(face_vertices):
     cols[_PFRONT] = (
         (ys[2] - ys[0]) * (xs[1] - xs[0]) < (ys[1] - ys[0]) * (xs[2] - xs[0])
     ).astype(p.dtype)
-    cols[31] = jnp.zeros((B, F), p.dtype)
+    # face index as float (exact to 2^24) for the hard-mode face-id output
+    cols[_PFID] = jnp.broadcast_to(
+        jnp.arange(F, dtype=p.dtype)[None, :], (B, F)
+    )
     return jnp.stack(cols, axis=-1)  # [B, F, NP]
 
 
@@ -226,10 +230,13 @@ def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
                         (R - 1 - w_y) * R + (R - 1 - w_x))
     tex_idx = jnp.clip(tex_idx, 0, cfg.T2 - 1)
 
+    inside01 = ((w0 >= 0) & (w0 <= 1) & (w1 >= 0) & (w1 <= 1)
+                & (w2 >= 0) & (w2 <= 1))
     return dict(
         valid=valid, frag=frag, sign=sign, dis_x=dis_x, dis_y=dis_y,
         t=t_sel, w=(w0, w1, w2), wc=(w0c, w1c, w2c), z=z, zp=zp,
         rgb_valid=rgb_valid, tex_idx=tex_idx, inside=inside,
+        inside01=inside01, z_ok=z_ok, front_ok=front_ok, fid=col(_PFID),
     )
 
 
@@ -272,7 +279,18 @@ def _fwd_kernel(starts_ref, data_hbm, out_ref, p2f_ref,
 
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
 
-        def body(i, carry):
+        def texcolors(pm, g0):
+            colr = jnp.zeros_like(pm["frag"])
+            colg = jnp.zeros_like(pm["frag"])
+            colb = jnp.zeros_like(pm["frag"])
+            for tt in range(cfg.T2):
+                msel = (pm["tex_idx"] == tt).astype(dtype)
+                colr += msel * texcol(g0, 0, tt)
+                colg += msel * texcol(g0, 1, tt)
+                colb += msel * texcol(g0, 2, tt)
+            return colr, colg, colb
+
+        def body_softmax(i, carry):
             m, s, c0, c1, c2, la = carry
             g0 = i * GROUP
             vmask = (g0 + sub_iota) < n
@@ -291,15 +309,7 @@ def _fwd_kernel(starts_ref, data_hbm, out_ref, p2f_ref,
             ez = jnp.exp((z_masked - m_new) / cfg.gamma)
             contrib = ez * frag  # [G, P]
 
-            # texel colors via masked accumulation over T2 texels
-            colr = jnp.zeros_like(frag)
-            colg = jnp.zeros_like(frag)
-            colb = jnp.zeros_like(frag)
-            for tt in range(cfg.T2):
-                msel = (pm["tex_idx"] == tt).astype(dtype)
-                colr += msel * texcol(g0, 0, tt)
-                colg += msel * texcol(g0, 1, tt)
-                colb += msel * texcol(g0, 2, tt)
+            colr, colg, colb = texcolors(pm, g0)
 
             s = s * scale + jnp.sum(contrib, axis=0, keepdims=True)
             c0 = c0 * scale + jnp.sum(contrib * colr, axis=0, keepdims=True)
@@ -321,36 +331,105 @@ def _fwd_kernel(starts_ref, data_hbm, out_ref, p2f_ref,
             )
             return m_new, s, c0, c1, c2, la
 
-        m0 = jnp.full((1, cfg.P), cfg.eps, dtype)
-        s0 = jnp.full((1, cfg.P), cfg.bg_weight, dtype)
-        c00 = jnp.full((1, cfg.P), cfg.bg[0] * cfg.bg_weight, dtype)
-        c10 = jnp.full((1, cfg.P), cfg.bg[1] * cfg.bg_weight, dtype)
-        c20 = jnp.full((1, cfg.P), cfg.bg[2] * cfg.bg_weight, dtype)
-        a0 = jnp.zeros((1, cfg.P), dtype)
+        def body_hard(i, carry):
+            """Hard z-min RGB + face ids (ref: ...cuda_kernel.cu:408-415)."""
+            depth, fidv, c0, c1, c2, la = carry
+            g0 = i * GROUP
+            vmask = (g0 + sub_iota) < n
+            pm = _pair_math(slab, g0, xp, yp, vmask, cfg)
+            frag = pm["frag"]
+            la = la + jnp.sum(jnp.log1p(-frag), axis=0, keepdims=True)
+
+            cand = (pm["valid"] & pm["z_ok"] & pm["inside01"]
+                    & pm["front_ok"])
+            zc = jnp.where(cand, pm["zp"], 1e7)
+            gmin = jnp.min(zc, axis=0, keepdims=True)
+            fid_cand = jnp.where(cand, pm["fid"] * jnp.ones_like(zc), 1e9)
+            fid_min = jnp.min(
+                jnp.where(zc == gmin, fid_cand, 1e9), axis=0, keepdims=True
+            )
+            colr, colg, colb = texcolors(pm, g0)
+            winsel = ((zc == gmin) & (fid_cand == fid_min)).astype(dtype)
+            gc0 = jnp.sum(winsel * colr, axis=0, keepdims=True)
+            gc1 = jnp.sum(winsel * colg, axis=0, keepdims=True)
+            gc2 = jnp.sum(winsel * colb, axis=0, keepdims=True)
+
+            better = gmin < depth
+            depth = jnp.where(better, gmin, depth)
+            fidv = jnp.where(better, fid_min, fidv)
+            c0 = jnp.where(better, gc0, c0)
+            c1 = jnp.where(better, gc1, c1)
+            c2 = jnp.where(better, gc2, c2)
+            return depth, fidv, c0, c1, c2, la
 
         n_groups = (n + GROUP - 1) // GROUP
-        m, s, c0, c1, c2, la = jax.lax.fori_loop(
-            0, n_groups, body, (m0, s0, c00, c10, c20, a0)
-        )
-
-        out_ref[0, 0] = jnp.concatenate(
-            [c0 / s, c1 / s, c2 / s, 1.0 - jnp.exp(la), s, m,
-             jnp.zeros((2, cfg.P), dtype)],
-            axis=0,
-        )
-        # per-entry p2f partials -> HBM
-        wr = pltpu.make_async_copy(
-            p2f_scratch.at[pl.ds(0, cfg.mf_cap), :],
-            p2f_ref.at[b, pl.ds(start, cfg.mf_cap), :],
-            sems.at[2],
-        )
-        wr.start()
-        wr.wait()
+        a0 = jnp.zeros((1, cfg.P), dtype)
+        if cfg.hard:
+            carry0 = (
+                jnp.full((1, cfg.P), 1e7, dtype),
+                jnp.full((1, cfg.P), 1e9, dtype),
+                jnp.full((1, cfg.P), cfg.bg[0], dtype),
+                jnp.full((1, cfg.P), cfg.bg[1], dtype),
+                jnp.full((1, cfg.P), cfg.bg[2], dtype),
+                a0,
+            )
+            depth, fidv, c0, c1, c2, la = jax.lax.fori_loop(
+                0, n_groups, body_hard, carry0
+            )
+            has = fidv < 1e8
+            out_ref[0, 0] = jnp.concatenate(
+                [
+                    jnp.where(has, c0, cfg.bg[0]),
+                    jnp.where(has, c1, cfg.bg[1]),
+                    jnp.where(has, c2, cfg.bg[2]),
+                    1.0 - jnp.exp(la),
+                    depth,
+                    jnp.where(has, fidv, -1.0),
+                    jnp.zeros((2, cfg.P), dtype),
+                ],
+                axis=0,
+            )
+        else:
+            carry0 = (
+                jnp.full((1, cfg.P), cfg.eps, dtype),
+                jnp.full((1, cfg.P), cfg.bg_weight, dtype),
+                jnp.full((1, cfg.P), cfg.bg[0] * cfg.bg_weight, dtype),
+                jnp.full((1, cfg.P), cfg.bg[1] * cfg.bg_weight, dtype),
+                jnp.full((1, cfg.P), cfg.bg[2] * cfg.bg_weight, dtype),
+                a0,
+            )
+            m, s, c0, c1, c2, la = jax.lax.fori_loop(
+                0, n_groups, body_softmax, carry0
+            )
+            out_ref[0, 0] = jnp.concatenate(
+                [c0 / s, c1 / s, c2 / s, 1.0 - jnp.exp(la), s, m,
+                 jnp.zeros((2, cfg.P), dtype)],
+                axis=0,
+            )
+            # per-entry p2f partials -> HBM (softmax mode only; the
+            # reference hard path never writes p2f, ...cuda_kernel.cu)
+            wr = pltpu.make_async_copy(
+                p2f_scratch.at[pl.ds(0, cfg.mf_cap), :],
+                p2f_ref.at[b, pl.ds(start, cfg.mf_cap), :],
+                sems.at[2],
+            )
+            wr.start()
+            wr.wait()
 
     @pl.when(n <= 0)
     def _():
-        bgrows = jnp.concatenate(
-            [
+        if cfg.hard:
+            rows = [
+                jnp.full((1, cfg.P), cfg.bg[0], dtype),
+                jnp.full((1, cfg.P), cfg.bg[1], dtype),
+                jnp.full((1, cfg.P), cfg.bg[2], dtype),
+                jnp.zeros((1, cfg.P), dtype),
+                jnp.full((1, cfg.P), 1e7, dtype),
+                jnp.full((1, cfg.P), -1.0, dtype),
+                jnp.zeros((2, cfg.P), dtype),
+            ]
+        else:
+            rows = [
                 jnp.full((1, cfg.P), cfg.bg[0], dtype),
                 jnp.full((1, cfg.P), cfg.bg[1], dtype),
                 jnp.full((1, cfg.P), cfg.bg[2], dtype),
@@ -358,10 +437,8 @@ def _fwd_kernel(starts_ref, data_hbm, out_ref, p2f_ref,
                 jnp.full((1, cfg.P), cfg.bg_weight, dtype),
                 jnp.full((1, cfg.P), cfg.eps, dtype),
                 jnp.zeros((2, cfg.P), dtype),
-            ],
-            axis=0,
-        )
-        out_ref[0, 0] = bgrows
+            ]
+        out_ref[0, 0] = jnp.concatenate(rows, axis=0)
 
 
 def _run_fwd_kernel(entry_data, starts, cfg: _Cfg, B, E_pad, n_tiles):
@@ -409,18 +486,23 @@ def soft_rasterize_pallas(
     tile_size=16,
     max_cover=4,
     mf_cap=128,
+    aggr_func_rgb="softmax",
 ):
-    """Training-config rasterizer (euclidean/softmax/prod/surface).
+    """Training-config rasterizer (euclidean dist, prod alpha, surface
+    textures; softmax or hard RGB).
 
     Same contract as rasterize.soft_rasterize. Gradients flow to
     face_vertices and textures with the reference CUDA backward's
-    semantics (see module docstring).
+    semantics (see module docstring); the hard-RGB mode is forward-only
+    (callers use it under stop_gradient, like the reference visibility
+    pass).
     """
     return _pallas_raster_vjp(
         face_vertices, textures,
         int(image_size), tuple(background_color), float(near), float(far),
         float(eps), float(sigma_val), float(dist_eps), float(gamma_val),
         bool(double_side), int(tile_size), int(max_cover), int(mf_cap),
+        aggr_func_rgb == "hard",
     )
 
 
@@ -506,23 +588,24 @@ def _prepare(face_vertices, textures, cfg: _Cfg, max_cover):
     return (planes, al_fids, astarts, entry_data, E_al, E_pad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 14)))
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 15)))
 def _pallas_raster_vjp(face_vertices, textures, S, bgc, near, far, eps,
                        sigma, dist_eps, gamma, double_side, ts, max_cover,
-                       mf_cap):
+                       mf_cap, hard):
     out, _res = _pallas_fwd(
         face_vertices, textures, S, bgc, near, far, eps, sigma, dist_eps,
-        gamma, double_side, ts, max_cover, mf_cap,
+        gamma, double_side, ts, max_cover, mf_cap, hard,
     )
     return out
 
 
 def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
-                dist_eps, gamma, double_side, ts, max_cover, mf_cap):
+                dist_eps, gamma, double_side, ts, max_cover, mf_cap,
+                hard=False):
     B, F = face_vertices.shape[:2]
     T2 = textures.shape[2]
     cfg = _make_cfg(S, bgc, near, far, eps, sigma, dist_eps, gamma,
-                    double_side, ts, T2, mf_cap)
+                    double_side, ts, T2, mf_cap, hard=hard)
     n_tiles = cfg.TX * cfg.TX
 
     (planes, al_fids, astarts, entry_data, E_al, E_pad
@@ -554,10 +637,14 @@ def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
 
 
 def _pallas_bwd(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
-                ts, max_cover, mf_cap, res, grads):
+                ts, max_cover, mf_cap, hard, res, grads):
     from .raster_kernel_bwd import run_backward
 
     face_vertices, textures, rgba, aggr = res
+    if hard:
+        # hard RGB is a forward-only visibility pass (the reference only
+        # ever calls it on detached inputs)
+        return jnp.zeros_like(face_vertices), jnp.zeros_like(textures)
     g_rgba = grads.rgba
     return run_backward(
         face_vertices, textures, rgba, aggr, g_rgba,

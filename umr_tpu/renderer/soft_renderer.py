@@ -95,6 +95,10 @@ class SoftRenderer:
     max_faces_per_tile: int = 64
     max_cover: int = 4
     tile_chunk: int = 0
+    # Pallas kernel cap: generous because work scales with the true count,
+    # only the per-tile DMA pays for the cap (crowded tiles happen when the
+    # mesh shrinks to a few tiles on screen)
+    pallas_mf_cap: int = 256
 
     def ambient_light_only(self):
         return dataclasses.replace(
@@ -160,10 +164,40 @@ class SoftRenderer:
             aggr_func_alpha=self.aggr_func_alpha,
             double_side=True,
         )
+        pallas_ok = (
+            self.impl in ("auto", "pallas")
+            and jax.default_backend() == "tpu"
+            and self.dist_func == "euclidean"
+            and self.aggr_func_alpha == "prod"
+            and self.render_type in ("softmax", "hard")
+            and render_size % self.tile_size == 0
+            and (textures is None or textures.shape[-1] == 3)
+        )
         use_binned = self.impl == "binned" or (
             self.impl == "auto" and render_size >= 128
         )
-        if use_binned:
+        if pallas_ok:
+            from ..ops.raster_kernel import soft_rasterize_pallas
+
+            tex = textures
+            if tex is None:
+                B, F = fv.shape[:2]
+                tex = jnp.ones((B, F, 1, 3), fv.dtype)
+            out = soft_rasterize_pallas(
+                fv,
+                tex,
+                image_size=render_size,
+                background_color=tuple(self.background_color),
+                sigma_val=self.sigma_val,
+                dist_eps=self.dist_eps,
+                gamma_val=self.gamma_val,
+                double_side=True,
+                tile_size=self.tile_size,
+                max_cover=self.max_cover,
+                mf_cap=self.pallas_mf_cap,
+                aggr_func_rgb=self.render_type,
+            )
+        elif use_binned:
             from ..ops.rasterize_binned import soft_rasterize_binned
 
             out = soft_rasterize_binned(
