@@ -30,23 +30,26 @@ IMAGE_SIZE = 256
 
 
 def bench_rasterizer(jax, jnp):
-    """Fwd+bwd rasterizer throughput at the training config."""
+    """Fwd+bwd rasterizer throughput at the training config (Pallas kernel
+    on TPU; a sphere-mesh scene like the training workload)."""
     import numpy as np
-    from umr_tpu.ops.rasterize import soft_rasterize
+    from umr_tpu.ops.raster_kernel import soft_rasterize_pallas
+    from umr_tpu.mesh import build_template
 
-    B, F, S = 8, 1280, 512
+    B, S = 8, 512
     rng = np.random.RandomState(0)
-    faces = np.zeros((B, F, 3, 3), np.float32)
-    faces[..., :2] = rng.uniform(-0.7, 0.7, size=(B, F, 3, 2))
-    faces[..., 2] = 7.0 + rng.uniform(-1, 1, size=(B, F, 3))
+    t = build_template(3, 1, 6)
+    F = t.num_faces
+    faces = (t.verts * 0.7)[t.faces][None].repeat(B, 0).astype(np.float32)
+    faces[..., 2] += 7.0
     tex = rng.rand(B, F, 36, 3).astype(np.float32)
     fv = jnp.asarray(faces)
     tx = jnp.asarray(tex)
 
     def loss(fv, tx):
-        out = soft_rasterize(
+        out = soft_rasterize_pallas(
             fv, tx, image_size=S, sigma_val=1e-5, gamma_val=1e-4,
-            dist_eps=1e-10,
+            dist_eps=1e-10, tile_size=16, mf_cap=128, max_cover=4,
         )
         return out.rgba.sum()
 

@@ -107,6 +107,8 @@ class Config:
     data_parallel: bool = True     # shard batch over available devices
     seed: int = 0
     bf16: bool = False
+    # sequential chunks for the B*K hypothesis renders (bounds peak HBM)
+    hypo_render_chunks: int = 4
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

@@ -206,9 +206,9 @@ class CUBDataset:
         elem["flip_img"] = elem["img"][:, ::-1, :].copy()
         elem["flip_mask"] = elem["mask"][:, ::-1].copy()
         if self.compute_dt:
-            elem["dts_barrier"] = image_utils.compute_dt_barrier(
-                elem["mask"]
-            ).astype(np.float32)[..., None]
+            from ..native import edt_barrier
+
+            elem["dts_barrier"] = edt_barrier(elem["mask"])[..., None]
         if self.filter_key is not None:
             if self.filter_key == "sfm_pose":
                 return {"vis": out["kp"][:, 2], "sfm_pose": elem["sfm_pose"]}

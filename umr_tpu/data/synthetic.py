@@ -21,7 +21,7 @@ def _ellipse_mask(H, W, cx, cy, rx, ry):
 def synthetic_batch(rng: np.random.RandomState, batch_size=4, image_size=64,
                     num_parts=4, points=(10, 30, 10, 30), with_dt=True):
     """Returns the dict the train steps consume (channel-last numpy)."""
-    from ..utils.image import compute_dt_barrier
+    from ..native import edt_barrier
 
     B, S = batch_size, image_size
     imgs = np.zeros((B, S, S, 3), np.float32)
@@ -62,12 +62,25 @@ def synthetic_batch(rng: np.random.RandomState, batch_size=4, image_size=64,
             coords = np.stack([idx % S, idx // S], axis=1).astype(np.float32)
             pts[name].append(coords / S * 2 - 1)
 
+    # keypoints: 15 CUB-style kps sampled inside the mask, all visible
+    kps = np.zeros((B, 15, 3), np.float32)
+    for b in range(B):
+        ys, xs = np.nonzero(masks[b])
+        sel = rng.randint(0, len(xs), size=15)
+        kps[b, :, 0] = xs[sel] / S * 2 - 1
+        kps[b, :, 1] = ys[sel] / S * 2 - 1
+        kps[b, :, 2] = 1.0
+
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
     batch = {
         "img": imgs,
         "input_img": (imgs - mean) / std,
         "mask": masks,
+        "kp": kps,
+        "sfm_pose": np.tile(
+            np.array([1, 0, 0, 1, 0, 0, 0], np.float32), (B, 1)
+        ),
         "part_prob": part_prob,
         "head_points": np.stack(pts["head"]).astype(np.float32),
         "belly_points": np.stack(pts["belly"]).astype(np.float32),
@@ -76,9 +89,9 @@ def synthetic_batch(rng: np.random.RandomState, batch_size=4, image_size=64,
         "real_imgs": imgs * masks[..., None],
     }
     if with_dt:
-        batch["dts_barrier"] = np.stack(
-            [compute_dt_barrier(m) for m in masks]
-        ).astype(np.float32)[..., None]
+        from ..native import edt_barrier_batch
+
+        batch["dts_barrier"] = edt_barrier_batch(masks)[..., None]
     return batch
 
 

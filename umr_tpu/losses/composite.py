@@ -38,8 +38,25 @@ def _rep_hypo(x, K):
     return jnp.repeat(x, K, axis=0)
 
 
+def _chunked_render(render_fn, n, chunks):
+    """Run render_fn(i0, m) over `chunks` slices of a folded batch of n,
+    sequentially via lax.map — bounds peak HBM of the big hypothesis
+    renders (the reference pays this as DataParallel scatter instead)."""
+    if chunks <= 1 or n % chunks != 0:
+        return render_fn(0, n)
+    m = n // chunks
+
+    def body(i):
+        return render_fn(i * m, m)
+
+    outs = jax.lax.map(body, jnp.arange(chunks))
+    return jax.tree.map(
+        lambda x: x.reshape((n,) + x.shape[2:]), outs
+    )
+
+
 def multi_mask_loss(renderer: SoftRenderer, vs, faces, cams_all_hypo,
-                    cam_probs, masks_gt):
+                    cam_probs, masks_gt, chunks=1):
     """Probability-weighted neg-IoU over all camera hypotheses.
 
     Ref: loss_utils.py:250-275 MultiMaskLoss.
@@ -49,8 +66,12 @@ def multi_mask_loss(renderer: SoftRenderer, vs, faces, cams_all_hypo,
     B, K = cams_all_hypo.shape[:2]
     pred_vs = _rep_hypo(vs, K)
     cams = cams_all_hypo.reshape(B * K, 7)
-    out = renderer.render(pred_vs, faces, cams)
-    mask_all_hypo = out.rgba[..., 3]
+
+    def render_slice(i0, m):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, m, 0)
+        return renderer.render(sl(pred_vs), faces, sl(cams)).rgba[..., 3]
+
+    mask_all_hypo = _chunked_render(render_slice, B * K, chunks)
     masks = _rep_hypo(masks_gt, K)
     loss = neg_iou_loss(mask_all_hypo, masks, avg=False).reshape(B, K)
     return (loss * cam_probs).sum(1).mean(), mask_all_hypo
@@ -62,6 +83,7 @@ def multi_texture_loss(
     lpips_fn: Callable,
     vs, faces, cams_all_hypo, cam_probs, proj_cam,
     imgs, masks_gt, masks_pred_hypo, tex, tex_flow, dts_barrier,
+    chunks=1,
 ):
     """Hypothesis-weighted perceptual texture loss + dt + cycle losses.
 
@@ -85,8 +107,13 @@ def multi_texture_loss(
     cam_probs = stop(cam_probs)
     texs = _rep_hypo(tex, K)
 
-    out = tex_renderer.render(pred_vs, faces, cams, texs)
-    texture_pred = out.rgba[..., :3]
+    def render_slice(i0, m):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, m, 0)
+        return tex_renderer.render(
+            sl(pred_vs), faces, sl(cams), sl(texs)
+        ).rgba[..., :3]
+
+    texture_pred = _chunked_render(render_slice, B * K, chunks)
     imgs_rep = _rep_hypo(imgs, K)
     masks_rep = _rep_hypo(masks_gt, K)
 

@@ -39,7 +39,9 @@ class Encoder(nn.Module):
             # empty map; keep a 1x1 conv so shapes stay valid
             x = ConvBlock(256, kernel_size=1, stride=1,
                           name="enc_conv1")(x, train)
-        x = x.reshape(x.shape[0], -1)
+        # flatten in torch CHW order so Linear weights are 1:1 importable
+        # from reference checkpoints (ref: cub_mesh.py:112)
+        x = x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
         feat = FCStack(self.nz_feat, 2, name="enc_fc")(x, train)
 
         def vae_head(name):

@@ -112,6 +112,7 @@ class _Cfg(NamedTuple):
     double_side: bool
     mf_cap: int
     hard: bool
+    p2f: bool = True
 
 
 def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
@@ -317,18 +318,16 @@ def _fwd_kernel(starts_ref, data_hbm, out_ref, p2f_ref,
             c2 = c2 * scale + jnp.sum(contrib * colb, axis=0, keepdims=True)
 
             # p2f partials for this group of entries
-            p2f_scratch[pl.ds(g0, GROUP), 0:1] = jnp.sum(
-                contrib * gx, axis=1, keepdims=True
-            )
-            p2f_scratch[pl.ds(g0, GROUP), 1:2] = jnp.sum(
-                contrib * gy, axis=1, keepdims=True
-            )
-            p2f_scratch[pl.ds(g0, GROUP), 2:3] = jnp.sum(
-                contrib, axis=1, keepdims=True
-            )
-            p2f_scratch[pl.ds(g0, GROUP), 3:4] = jnp.zeros(
-                (GROUP, 1), dtype
-            )
+            if cfg.p2f:
+                p2f_scratch[pl.ds(g0, GROUP), 0:1] = jnp.sum(
+                    contrib * gx, axis=1, keepdims=True
+                )
+                p2f_scratch[pl.ds(g0, GROUP), 1:2] = jnp.sum(
+                    contrib * gy, axis=1, keepdims=True
+                )
+                p2f_scratch[pl.ds(g0, GROUP), 2:3] = jnp.sum(
+                    contrib, axis=1, keepdims=True
+                )
             return m_new, s, c0, c1, c2, la
 
         def body_hard(i, carry):
@@ -408,13 +407,14 @@ def _fwd_kernel(starts_ref, data_hbm, out_ref, p2f_ref,
             )
             # per-entry p2f partials -> HBM (softmax mode only; the
             # reference hard path never writes p2f, ...cuda_kernel.cu)
-            wr = pltpu.make_async_copy(
-                p2f_scratch.at[pl.ds(0, cfg.mf_cap), :],
-                p2f_ref.at[b, pl.ds(start, cfg.mf_cap), :],
-                sems.at[2],
-            )
-            wr.start()
-            wr.wait()
+            if cfg.p2f:
+                wr = pltpu.make_async_copy(
+                    p2f_scratch.at[pl.ds(0, cfg.mf_cap), :],
+                    p2f_ref.at[b, pl.ds(start, cfg.mf_cap), :],
+                    sems.at[2],
+                )
+                wr.start()
+                wr.wait()
 
     @pl.when(n <= 0)
     def _():
@@ -487,6 +487,7 @@ def soft_rasterize_pallas(
     max_cover=4,
     mf_cap=128,
     aggr_func_rgb="softmax",
+    need_p2f=True,
 ):
     """Training-config rasterizer (euclidean dist, prod alpha, surface
     textures; softmax or hard RGB).
@@ -502,7 +503,7 @@ def soft_rasterize_pallas(
         int(image_size), tuple(background_color), float(near), float(far),
         float(eps), float(sigma_val), float(dist_eps), float(gamma_val),
         bool(double_side), int(tile_size), int(max_cover), int(mf_cap),
-        aggr_func_rgb == "hard",
+        aggr_func_rgb == "hard", bool(need_p2f),
     )
 
 
@@ -588,24 +589,25 @@ def _prepare(face_vertices, textures, cfg: _Cfg, max_cover):
     return (planes, al_fids, astarts, entry_data, E_al, E_pad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 15)))
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 16)))
 def _pallas_raster_vjp(face_vertices, textures, S, bgc, near, far, eps,
                        sigma, dist_eps, gamma, double_side, ts, max_cover,
-                       mf_cap, hard):
+                       mf_cap, hard, need_p2f):
     out, _res = _pallas_fwd(
         face_vertices, textures, S, bgc, near, far, eps, sigma, dist_eps,
-        gamma, double_side, ts, max_cover, mf_cap, hard,
+        gamma, double_side, ts, max_cover, mf_cap, hard, need_p2f,
     )
     return out
 
 
 def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
                 dist_eps, gamma, double_side, ts, max_cover, mf_cap,
-                hard=False):
+                hard=False, need_p2f=True):
     B, F = face_vertices.shape[:2]
     T2 = textures.shape[2]
     cfg = _make_cfg(S, bgc, near, far, eps, sigma, dist_eps, gamma,
                     double_side, ts, T2, mf_cap, hard=hard)
+    cfg = cfg._replace(p2f=(need_p2f and not hard))
     n_tiles = cfg.TX * cfg.TX
 
     (planes, al_fids, astarts, entry_data, E_al, E_pad
@@ -622,22 +624,25 @@ def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
     rgba = img[:, 0:4].transpose(0, 2, 3, 1)
     aggr = img[:, 4:6]
 
-    # p2f: segment-sum per face (padding slots carry the dummy face id F,
-    # which lands in the dropped row)
-    def seg(p2f_e, fid):
-        return jnp.zeros((F + 1, 3), p2f_e.dtype).at[fid].add(
-            p2f_e[:E_al, :3]
-        )[:F]
+    if cfg.p2f:
+        # p2f: segment-sum per face (padding slots carry the dummy face
+        # id F, which lands in the dropped row)
+        def seg(p2f_e, fid):
+            return jnp.zeros((F + 1, 3), p2f_e.dtype).at[fid].add(
+                p2f_e[:E_al, :3]
+            )[:F]
 
-    p2f_sums = jax.vmap(seg)(p2f_entry, al_fids)
-    p2f = p2f_sums[..., :2] / jnp.maximum(p2f_sums[..., 2:3], 1e-12)
+        p2f_sums = jax.vmap(seg)(p2f_entry, al_fids)
+        p2f = p2f_sums[..., :2] / jnp.maximum(p2f_sums[..., 2:3], 1e-12)
+    else:
+        p2f = jnp.zeros((B, F, 2), face_vertices.dtype)
 
     res = (face_vertices, textures, rgba, aggr)
     return RasterOut(rgba=rgba, p2f=p2f, aggr=aggr), res
 
 
 def _pallas_bwd(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
-                ts, max_cover, mf_cap, hard, res, grads):
+                ts, max_cover, mf_cap, hard, need_p2f, res, grads):
     from .raster_kernel_bwd import run_backward
 
     face_vertices, textures, rgba, aggr = res

@@ -117,13 +117,20 @@ class SoftRenderer:
         """[B,N,3], [B,7] -> [B,N,2] (ref: nnutils/smr.py:76-78)."""
         return orthographic_proj_withz(verts, cams)[:, :, :2]
 
-    def __call__(self, vertices, faces, cams, textures=None):
-        return self.render(vertices, faces, cams, textures)
+    def __call__(self, vertices, faces, cams, textures=None,
+                 need_p2f=False):
+        return self.render(vertices, faces, cams, textures, need_p2f)
 
-    def render(self, vertices, faces, cams, textures=None) -> RasterOut:
+    def render(self, vertices, faces, cams, textures=None,
+               need_p2f=False) -> RasterOut:
         """vertices: [B,V,3]; faces: [F,3] or [B,F,3]; cams: [B,7];
         textures: [B,F,T2,3] or None. Returns RasterOut with
         rgba [B,H,W,4] at image_size (after 2x supersampled AA if enabled).
+
+        need_p2f: the Pallas kernel path skips the (large) per-face
+        expected-coordinate side output unless requested; set True when the
+        caller consumes RasterOut.p2f (the stage-1 texture-cycle loss).
+        The XLA paths always compute it.
         """
         verts = orthographic_proj_withz(vertices, cams, offset_z=self.offset_z)
         # y flip into image coords (ref: nnutils/smr.py:36)
@@ -196,6 +203,7 @@ class SoftRenderer:
                 max_cover=self.max_cover,
                 mf_cap=self.pallas_mf_cap,
                 aggr_func_rgb=self.render_type,
+                need_p2f=need_p2f,
             )
         elif use_binned:
             from ..ops.rasterize_binned import soft_rasterize_binned

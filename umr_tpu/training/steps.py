@@ -184,7 +184,8 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
         sc["cam_div_loss"] = cam_diversity_loss(cam_probs)
 
         mask_loss, mask_all_hypo = multi_mask_loss(
-            renderer, pred_vs, faces, cams_all, cam_probs, masks
+            renderer, pred_vs, faces, cams_all, cam_probs, masks,
+            chunks=cfg.hypo_render_chunks,
         )
         sc["mask_loss"] = mask_loss
         sc["tri_loss"] = laplacian_loss(
@@ -217,7 +218,7 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
                 tex_renderer, hard_renderer, lpips_fn,
                 pred_vs, faces, stop(cams_all), stop(cam_probs), proj_cam,
                 imgs, masks, mask_all_hypo, tex, tex_flow,
-                batch["dts_barrier"],
+                batch["dts_barrier"], chunks=cfg.hypo_render_chunks,
             )
             sc["tex_loss"] = tex_loss
             sc["tex_dt_loss"] = dt_loss
@@ -387,7 +388,7 @@ def build_s1_step(cfg: Config, template):
             T = tex.shape[2]
             tex = tex.reshape(B, tex.shape[1], T * T, 3)
             tex_out = tex_renderer.render(
-                stop(pred_vs), faces, stop(proj_cam), tex
+                stop(pred_vs), faces, stop(proj_cam), tex, need_p2f=True
             )
             texture_pred = tex_out.rgba[..., :3]
             a = 2 * (texture_pred * mask_pred_seen[..., None]) - 1
