@@ -7,7 +7,10 @@ as the driver's `dryrun_multichip` does.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the machine profile exports JAX_PLATFORMS (e.g. a
+# tunneled TPU platform): the suite validates numerics deterministically on
+# host; TPU-only paths are covered by tools/validate_kernel.py
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -62,10 +62,24 @@ def run(cfg: Config, dataloader=None):
         print(green("Template updated."))
         return state
 
+    from ..renderer import SoftRenderer
+    from ..training.visuals import make_visuals_fn
+
+    vis_renderer = SoftRenderer(
+        image_size=cfg.image_size, render_type="hard",
+        anti_aliasing=cfg.anti_aliasing, ambient_intensity=0.8,
+        directional_intensity=0.4, light_direction=(0.0, 1.0, -1.0),
+        background_color=(1.0, 1.0, 1.0),
+    )
+    visuals_fn = make_visuals_fn(
+        cfg, template, model, vis_renderer, jnp.asarray(template.faces)
+    ) if cfg.display_visuals else None
+
     trainer = Trainer(
         cfg, step_fn, state, dataloader,
         extra_step_args=lambda epoch: (jnp.float32(epoch),),
         on_epoch_end=on_epoch_end,
+        visuals_fn=visuals_fn,
     )
     return trainer.train()
 

@@ -102,7 +102,19 @@ def run(cfg: Config, dataloader=None):
     if dataloader is None:
         dataloader = cub_data.data_loader(cfg)
 
-    trainer = Trainer(cfg, step_fn, state, dataloader)
+    from ..training.visuals import make_visuals_fn
+    import jax.numpy as jnp
+
+    vis_renderer = SoftRenderer(
+        image_size=cfg.image_size, render_type="hard",
+        anti_aliasing=cfg.anti_aliasing, ambient_intensity=0.8,
+        directional_intensity=0.4, light_direction=(0.0, 1.0, -1.0),
+    )
+    visuals_fn = make_visuals_fn(
+        cfg, template, model, vis_renderer, jnp.asarray(template.faces)
+    ) if cfg.display_visuals else None
+
+    trainer = Trainer(cfg, step_fn, state, dataloader, visuals_fn=visuals_fn)
     return trainer.train()
 
 

@@ -202,11 +202,24 @@ class PartMatchingLoss:
         """part_segs: [B, num_parts+1, H, W] normalized SCOPS part maps.
         Returns (total_loss, projs [B,num_parts,H,W])."""
         B = verts.shape[0]
-        tex = jnp.broadcast_to(
+        tex_all = jnp.broadcast_to(
             jnp.asarray(self.part_tex)[None], (B,) + self.part_tex.shape
         )
-        out = self.renderer.render(verts, faces, cams, tex)
-        projs = out.rgba[..., : self.num_parts]  # [B,H,W,P]
+        # render part channels in groups of 3 so the Pallas kernel path
+        # (3-channel) applies; channels share aggregation weights so the
+        # split is exact
+        chans = []
+        for c0 in range(0, self.num_parts, 3):
+            sub = tex_all[..., c0:c0 + 3]
+            pad = 3 - sub.shape[-1]
+            if pad:
+                sub = jnp.concatenate(
+                    [sub, jnp.zeros(sub.shape[:-1] + (pad,), sub.dtype)],
+                    axis=-1,
+                )
+            out = self.renderer.render(verts, faces, cams, sub)
+            chans.append(out.rgba[..., : min(3, self.num_parts - c0)])
+        projs = jnp.concatenate(chans, axis=-1)  # [B,H,W,P]
         projs = projs.transpose(0, 3, 1, 2)      # [B,P,H,W]
         S = projs.shape[-1]
         bg = jnp.full((B, 1, S, S), self.bg_value, projs.dtype)

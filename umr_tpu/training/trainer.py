@@ -50,13 +50,15 @@ class Trainer:
 
     def __init__(self, cfg: Config, step_fn, state, dataloader,
                  extra_step_args=None, on_epoch_end=None,
-                 save_extra=None):
+                 visuals_fn=None):
         self.cfg = cfg
         self.step_fn = step_fn
         self.state = state
         self.dataloader = dataloader
         self.extra_step_args = extra_step_args or (lambda epoch: ())
         self.on_epoch_end = on_epoch_end
+        self.visuals_fn = visuals_fn
+        self.vis_out = os.path.join(cfg.vis_dir, cfg.name)
         self.save_dir = os.path.join(cfg.checkpoint_dir, cfg.name)
         os.makedirs(self.save_dir, exist_ok=True)
         self._dump_opts()
@@ -113,6 +115,14 @@ class Trainer:
                         "iter_time": iter_time,
                     }
                     visualizer.print_current_scalars(epoch, epoch_iter, sc)
+
+                if (cfg.display_visuals and self.visuals_fn is not None
+                        and total_steps % cfg.display_freq == 0):
+                    from .visuals import save_visuals
+
+                    save_visuals(self.visuals_fn(self.state, db),
+                                 self.vis_out)
+                    print(green(f"Visualization saved at {self.vis_out}."))
 
                 if total_steps % cfg.save_latest_freq == 0:
                     print(green(
