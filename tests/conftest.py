@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# belt-and-braces: a pytest plugin (e.g. jaxtyping) may import jax before
+# this conftest runs, after the machine profile's JAX_PLATFORMS was read
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

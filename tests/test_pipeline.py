@@ -15,7 +15,7 @@ from umr_tpu.data import SyntheticDataset
 
 
 IMG = 64
-pytestmark = pytest.mark.slow
+pytestmark = pytest.mark.filterwarnings("ignore")
 
 
 class _Loader:

@@ -140,7 +140,8 @@ def run(cfg: Config, dataloader=None):
             part_segs.transpose(0, 2, 3, 1), out["uvimage_pred"]
         ).transpose(0, 3, 1, 2)
         dist = ((uv_parts - best_uv_j) ** 2).sum(axis=(1, 2, 3))
-        _, idx = jax.lax.top_k(-dist, 5)
+        k = min(5, dist.shape[0])  # ref takes top-5 per batch (avg_uv.py:222)
+        _, idx = jax.lax.top_k(-dist, k)
         return uv_parts[idx].sum(axis=0), idx
 
     avg_uv_parts, counter = None, 0

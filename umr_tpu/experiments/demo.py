@@ -42,7 +42,11 @@ def preprocess_image(img_path, img_size=256):
     scale = float(img_size) / np.max(img.shape[:2])
     img, _ = image_utils.resize_img(img, scale)
     center = np.round(np.array(img.shape[:2]) / 2).astype(int)[::-1]
-    bbox = np.hstack([center - img_size / 2.0, center + img_size / 2.0])
+    # inclusive bbox of exactly img_size (the reference's center +- S/2
+    # yields S+1 px and slices later; we crop to S directly)
+    bbox = np.hstack(
+        [center - img_size / 2.0, center + img_size / 2.0 - 1]
+    )
     return image_utils.crop(img, bbox, bgval=1.0).astype(np.float32)
 
 

@@ -4,10 +4,11 @@ TPU-first re-design notes:
   - camera hypotheses are folded into the batch dimension of ONE rasterizer
     call per loss (the reference does the same via .view(-1, ...) but then
     DataParallel-scatters; here the fold feeds a single fused jit region).
-  - the 4 semantic part projections are ONE rasterizer call with a 4-channel
-    one-hot texture instead of the reference's 4 renders of 3 duplicated
-    channels (ref: loss_utils.py:379-399) — identical math, 12x less texel
-    bandwidth — because channels share the same softmax aggregation weights.
+  - the 4 semantic part projections render the one-hot part channels in
+    3-channel groups (2 rasterizer calls) instead of the reference's 4
+    renders of 3 duplicated channels (ref: loss_utils.py:379-399) —
+    identical math because channels share the same softmax aggregation
+    weights, and each group rides the Pallas kernel path.
 """
 
 from __future__ import annotations
@@ -69,7 +70,9 @@ def multi_mask_loss(renderer: SoftRenderer, vs, faces, cams_all_hypo,
 
     def render_slice(i0, m):
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, m, 0)
-        return renderer.render(sl(pred_vs), faces, sl(cams)).rgba[..., 3]
+        return renderer.render(
+            sl(pred_vs), faces, sl(cams), mask_only=True
+        ).rgba[..., 3]
 
     mask_all_hypo = _chunked_render(render_slice, B * K, chunks)
     masks = _rep_hypo(masks_gt, K)
@@ -155,6 +158,8 @@ def corr_loss_chamfer(project_points, part_vert_idx, part_points, verts,
     off = 0
     for idx, pts, w in zip(part_vert_idx, part_points, weights):
         n = len(idx)
+        if n == 0:  # a part with no template vertices contributes nothing
+            continue
         d1, _, _, _ = chamfer_dist(vert2d[:, off:off + n, :], pts)
         dists.append(d1 * w)
         off += n

@@ -113,6 +113,7 @@ class _Cfg(NamedTuple):
     mf_cap: int
     hard: bool
     p2f: bool = True
+    mask_only: bool = False
 
 
 def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
@@ -310,12 +311,15 @@ def _fwd_kernel(starts_ref, data_hbm, out_ref, p2f_ref,
             ez = jnp.exp((z_masked - m_new) / cfg.gamma)
             contrib = ez * frag  # [G, P]
 
-            colr, colg, colb = texcolors(pm, g0)
-
             s = s * scale + jnp.sum(contrib, axis=0, keepdims=True)
-            c0 = c0 * scale + jnp.sum(contrib * colr, axis=0, keepdims=True)
-            c1 = c1 * scale + jnp.sum(contrib * colg, axis=0, keepdims=True)
-            c2 = c2 * scale + jnp.sum(contrib * colb, axis=0, keepdims=True)
+            if not cfg.mask_only:
+                colr, colg, colb = texcolors(pm, g0)
+                c0 = c0 * scale + jnp.sum(contrib * colr, axis=0,
+                                          keepdims=True)
+                c1 = c1 * scale + jnp.sum(contrib * colg, axis=0,
+                                          keepdims=True)
+                c2 = c2 * scale + jnp.sum(contrib * colb, axis=0,
+                                          keepdims=True)
 
             # p2f partials for this group of entries
             if cfg.p2f:
@@ -488,6 +492,7 @@ def soft_rasterize_pallas(
     mf_cap=128,
     aggr_func_rgb="softmax",
     need_p2f=True,
+    mask_only=False,
 ):
     """Training-config rasterizer (euclidean dist, prod alpha, surface
     textures; softmax or hard RGB).
@@ -503,7 +508,7 @@ def soft_rasterize_pallas(
         int(image_size), tuple(background_color), float(near), float(far),
         float(eps), float(sigma_val), float(dist_eps), float(gamma_val),
         bool(double_side), int(tile_size), int(max_cover), int(mf_cap),
-        aggr_func_rgb == "hard", bool(need_p2f),
+        aggr_func_rgb == "hard", bool(need_p2f), bool(mask_only),
     )
 
 
@@ -589,25 +594,27 @@ def _prepare(face_vertices, textures, cfg: _Cfg, max_cover):
     return (planes, al_fids, astarts, entry_data, E_al, E_pad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 16)))
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 17)))
 def _pallas_raster_vjp(face_vertices, textures, S, bgc, near, far, eps,
                        sigma, dist_eps, gamma, double_side, ts, max_cover,
-                       mf_cap, hard, need_p2f):
+                       mf_cap, hard, need_p2f, mask_only):
     out, _res = _pallas_fwd(
         face_vertices, textures, S, bgc, near, far, eps, sigma, dist_eps,
         gamma, double_side, ts, max_cover, mf_cap, hard, need_p2f,
+        mask_only,
     )
     return out
 
 
 def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
                 dist_eps, gamma, double_side, ts, max_cover, mf_cap,
-                hard=False, need_p2f=True):
+                hard=False, need_p2f=True, mask_only=False):
     B, F = face_vertices.shape[:2]
     T2 = textures.shape[2]
     cfg = _make_cfg(S, bgc, near, far, eps, sigma, dist_eps, gamma,
                     double_side, ts, T2, mf_cap, hard=hard)
-    cfg = cfg._replace(p2f=(need_p2f and not hard))
+    cfg = cfg._replace(p2f=(need_p2f and not hard),
+                       mask_only=(mask_only and not hard))
     n_tiles = cfg.TX * cfg.TX
 
     (planes, al_fids, astarts, entry_data, E_al, E_pad
@@ -642,7 +649,8 @@ def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
 
 
 def _pallas_bwd(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
-                ts, max_cover, mf_cap, hard, need_p2f, res, grads):
+                ts, max_cover, mf_cap, hard, need_p2f, mask_only, res,
+                grads):
     from .raster_kernel_bwd import run_backward
 
     face_vertices, textures, rgba, aggr = res
@@ -654,7 +662,7 @@ def _pallas_bwd(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
     return run_backward(
         face_vertices, textures, rgba, aggr, g_rgba,
         S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side, ts,
-        max_cover, mf_cap,
+        max_cover, mf_cap, mask_only,
     )
 
 

@@ -101,44 +101,49 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
             ez_over_s = jnp.exp(z_arg) / s_tot
             zp_softmax = frag * ez_over_s * rgb_on
 
-            # texel colors + per-texel texture grads; one [G, 128] store per
-            # group (108 dynamic stores made Mosaic compilation explode)
-            colr = jnp.zeros_like(frag)
-            colg = jnp.zeros_like(frag)
-            colb = jnp.zeros_like(frag)
-            gtex_cols = []
-            for tt in range(cfg.T2):
-                msel = (pm["tex_idx"] == tt).astype(dtype) * rgb_on
-                colr += msel * texcol(g0, 0, tt)
-                colg += msel * texcol(g0, 1, tt)
-                colb += msel * texcol(g0, 2, tt)
-                gtex_cols.append(msel * zp_softmax * zgate)
-            gtr = [jnp.sum(gc * g_r, axis=1, keepdims=True)
-                   for gc in gtex_cols]
-            gtg = [jnp.sum(gc * g_g, axis=1, keepdims=True)
-                   for gc in gtex_cols]
-            gtb = [jnp.sum(gc * g_b, axis=1, keepdims=True)
-                   for gc in gtex_cols]
-            gtex_scratch[pl.ds(g0, rk.GROUP), :] = jnp.concatenate(
-                gtr + gtg + gtb
-                + [jnp.zeros((rk.GROUP, 128 - 3 * cfg.T2), dtype)],
-                axis=1,
-            )
+            if cfg.mask_only:
+                # alpha-only render: zero rgb cotangent by construction
+                gz = [jnp.zeros((rk.GROUP, 1), dtype) for _ in range(3)]
+            else:
+                # texel colors + per-texel texture grads; one [G, 128]
+                # store per group (108 dynamic stores made Mosaic
+                # compilation explode)
+                colr = jnp.zeros_like(frag)
+                colg = jnp.zeros_like(frag)
+                colb = jnp.zeros_like(frag)
+                gtex_cols = []
+                for tt in range(cfg.T2):
+                    msel = (pm["tex_idx"] == tt).astype(dtype) * rgb_on
+                    colr += msel * texcol(g0, 0, tt)
+                    colg += msel * texcol(g0, 1, tt)
+                    colb += msel * texcol(g0, 2, tt)
+                    gtex_cols.append(msel * zp_softmax * zgate)
+                gtr = [jnp.sum(gc * g_r, axis=1, keepdims=True)
+                       for gc in gtex_cols]
+                gtg = [jnp.sum(gc * g_g, axis=1, keepdims=True)
+                       for gc in gtex_cols]
+                gtb = [jnp.sum(gc * g_b, axis=1, keepdims=True)
+                       for gc in gtex_cols]
+                gtex_scratch[pl.ds(g0, rk.GROUP), :] = jnp.concatenate(
+                    gtr + gtg + gtb
+                    + [jnp.zeros((rk.GROUP, 128 - 3 * cfg.T2), dtype)],
+                    axis=1,
+                )
 
-            # C_rgb / frag computed stably as ez/s * sum_c g_c (col_c - rgb_c)
-            dcol = (g_r * (colr - rgb_r) + g_g * (colg - rgb_g)
-                    + g_b * (colb - rgb_b))
-            C_rgb_over_frag = ez_over_s * rgb_on * dcol
-            C_rgb = C_rgb_over_frag * frag
-            C_grad_xy = C_grad_xy + C_rgb_over_frag
+                # C_rgb / frag stably as ez/s * sum_c g_c (col_c - rgb_c)
+                dcol = (g_r * (colr - rgb_r) + g_g * (colg - rgb_g)
+                        + g_b * (colb - rgb_b))
+                C_rgb_over_frag = ez_over_s * rgb_on * dcol
+                C_rgb = C_rgb_over_frag * frag
+                C_grad_xy = C_grad_xy + C_rgb_over_frag
 
-            # depth gradient (:624-627)
-            C_z = C_rgb / cfg.gamma / (cfg.near - cfg.far) * zp * zp
-            gz = [
-                jnp.sum(zgate * C_z * wc[k] / (z[k] * z[k]),
-                        axis=1, keepdims=True)
-                for k in range(3)
-            ]
+                # depth gradient (:624-627)
+                C_z = C_rgb / cfg.gamma / (cfg.near - cfg.far) * zp * zp
+                gz = [
+                    jnp.sum(zgate * C_z * wc[k] / (z[k] * z[k]),
+                            axis=1, keepdims=True)
+                    for k in range(3)
+                ]
 
             # sigmoid + euclidean distance chain (:632-643)
             C_grad_xy = C_grad_xy * frag * (1.0 - frag) / cfg.sigma
@@ -184,13 +189,14 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
 
 def run_backward(face_vertices, textures, rgba, aggr,
                  g_rgba, S, bgc, near, far, eps, sigma, dist_eps, gamma,
-                 double_side, ts, max_cover, mf_cap):
+                 double_side, ts, max_cover, mf_cap, mask_only=False):
     """Returns (grad_face_vertices [B,F,3,3], grad_textures [B,F,T2,3])."""
     B, F = face_vertices.shape[:2]
     T2 = textures.shape[2]
     dtype = face_vertices.dtype
     cfg = rk._make_cfg(S, bgc, near, far, eps, sigma, dist_eps, gamma,
                        double_side, ts, T2, mf_cap)
+    cfg = cfg._replace(mask_only=mask_only)
     TX, P = cfg.TX, cfg.P
     n_tiles = TX * TX
 

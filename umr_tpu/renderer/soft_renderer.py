@@ -91,7 +91,7 @@ class SoftRenderer:
     # 'binned' = tile-binned rasterizer (production TPU path);
     # 'dense' = all (pixel, face) pairs; 'auto' = binned for large renders.
     impl: str = "auto"
-    tile_size: int = 16
+    tile_size: int = 32
     max_faces_per_tile: int = 64
     max_cover: int = 4
     tile_chunk: int = 0
@@ -118,11 +118,12 @@ class SoftRenderer:
         return orthographic_proj_withz(verts, cams)[:, :, :2]
 
     def __call__(self, vertices, faces, cams, textures=None,
-                 need_p2f=False):
-        return self.render(vertices, faces, cams, textures, need_p2f)
+                 need_p2f=False, mask_only=False):
+        return self.render(vertices, faces, cams, textures, need_p2f,
+                           mask_only)
 
     def render(self, vertices, faces, cams, textures=None,
-               need_p2f=False) -> RasterOut:
+               need_p2f=False, mask_only=False) -> RasterOut:
         """vertices: [B,V,3]; faces: [F,3] or [B,F,3]; cams: [B,7];
         textures: [B,F,T2,3] or None. Returns RasterOut with
         rgba [B,H,W,4] at image_size (after 2x supersampled AA if enabled).
@@ -204,6 +205,7 @@ class SoftRenderer:
                 mf_cap=self.pallas_mf_cap,
                 aggr_func_rgb=self.render_type,
                 need_p2f=need_p2f,
+                mask_only=mask_only,
             )
         elif use_binned:
             from ..ops.rasterize_binned import soft_rasterize_binned

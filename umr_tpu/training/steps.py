@@ -356,7 +356,7 @@ def build_s1_step(cfg: Config, template):
         proj_cam = outputs["cam"]
 
         sc = {}
-        seen = renderer.render(pred_vs, faces, proj_cam)
+        seen = renderer.render(pred_vs, faces, proj_cam, mask_only=True)
         mask_pred_seen = seen.rgba[..., 3]
         sc["mask_loss"] = neg_iou_loss(mask_pred_seen, masks)
         sc["tri_loss"] = laplacian_loss(
@@ -417,7 +417,8 @@ def build_s1_step(cfg: Config, template):
         if cfg.use_gan:
             angles = jax.random.randint(k_gan, (B,), 0, 180)
             random_cams = rotate_cam(stop(proj_cam), angles)
-            unseen = renderer.render(pred_vs, faces, random_cams)
+            unseen = renderer.render(pred_vs, faces, random_cams,
+                                     mask_only=True)
             mask_unseen = unseen.rgba[..., 3]
 
             def disc_apply(x):
