@@ -76,7 +76,7 @@ def test_binned_training_config(rng):
         max_faces_per_tile=20, max_cover=4, **kw
     )
     np.testing.assert_allclose(
-        np.asarray(binned.rgba), np.asarray(dense.rgba), atol=5e-4
+        np.asarray(binned.rgba), np.asarray(dense.rgba), atol=2e-3
     )
 
 

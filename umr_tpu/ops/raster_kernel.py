@@ -114,6 +114,7 @@ class _Cfg(NamedTuple):
     hard: bool
     p2f: bool = True
     mask_only: bool = False
+    tpg: int = 8   # tiles per grid step (amortizes per-step overhead)
 
 
 def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
@@ -260,201 +261,210 @@ def _tile_coords(t, cfg: _Cfg, dtype):
 def _fwd_kernel(starts_ref, data_hbm, out_ref, p2f_ref,
                 slab, p2f_scratch, sems, *, cfg: _Cfg):
     b = pl.program_id(0)
-    t = pl.program_id(1)
+    tchunk = pl.program_id(1)
     dtype = out_ref.dtype
-    start = pl.multiple_of(starts_ref[b, t], GROUP)
-    n = jnp.minimum(starts_ref[b, t + 1] - start, cfg.mf_cap)
 
-    xp, yp, gx, gy = _tile_coords(t, cfg, dtype)
+    def tile_body(tl, _carry):
+        t = tchunk * cfg.tpg + tl
+        start = pl.multiple_of(starts_ref[b, t], GROUP)
+        n = jnp.minimum(starts_ref[b, t + 1] - start, cfg.mf_cap)
 
-    @pl.when(n > 0)
-    def _():
-        cp1 = pltpu.make_async_copy(
-            data_hbm.at[b, pl.ds(start, cfg.mf_cap), :], slab, sems.at[0]
-        )
-        cp1.start()
-        cp1.wait()
+        xp, yp, gx, gy = _tile_coords(t, cfg, dtype)
 
-        def texcol(g0, c, tt):
-            off = NP + c * cfg.T2 + tt
-            return slab[pl.ds(g0, GROUP), off:off + 1]
+        @pl.when(n > 0)
+        def _():
+            cp1 = pltpu.make_async_copy(
+                data_hbm.at[b, pl.ds(start, cfg.mf_cap), :], slab, sems.at[0]
+            )
+            cp1.start()
+            cp1.wait()
 
-        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
+            def texcol(g0, c, tt):
+                off = NP + c * cfg.T2 + tt
+                return slab[pl.ds(g0, GROUP), off:off + 1]
 
-        def texcolors(pm, g0):
-            colr = jnp.zeros_like(pm["frag"])
-            colg = jnp.zeros_like(pm["frag"])
-            colb = jnp.zeros_like(pm["frag"])
-            for tt in range(cfg.T2):
-                msel = (pm["tex_idx"] == tt).astype(dtype)
-                colr += msel * texcol(g0, 0, tt)
-                colg += msel * texcol(g0, 1, tt)
-                colb += msel * texcol(g0, 2, tt)
-            return colr, colg, colb
+            sub_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
 
-        def body_softmax(i, carry):
-            m, s, c0, c1, c2, la = carry
-            g0 = i * GROUP
-            vmask = (g0 + sub_iota) < n
-            pm = _pair_math(slab, g0, xp, yp, vmask, cfg)
-            frag = pm["frag"]
+            def texcolors(pm, g0):
+                colr = jnp.zeros_like(pm["frag"])
+                colg = jnp.zeros_like(pm["frag"])
+                colb = jnp.zeros_like(pm["frag"])
+                for tt in range(cfg.T2):
+                    msel = (pm["tex_idx"] == tt).astype(dtype)
+                    colr += msel * texcol(g0, 0, tt)
+                    colg += msel * texcol(g0, 1, tt)
+                    colb += msel * texcol(g0, 2, tt)
+                return colr, colg, colb
 
-            # alpha product in log space (Mosaic has no reduce_prod);
-            # log1p(-frag) = 0 for masked faces, -inf saturates correctly
-            la = la + jnp.sum(jnp.log1p(-frag), axis=0, keepdims=True)
+            def body_softmax(i, carry):
+                m, s, c0, c1, c2, la = carry
+                g0 = i * GROUP
+                vmask = (g0 + sub_iota) < n
+                pm = _pair_math(slab, g0, xp, yp, vmask, cfg)
+                frag = pm["frag"]
 
-            z_norm = (cfg.far - pm["zp"]) / (cfg.far - cfg.near)
-            z_masked = jnp.where(pm["rgb_valid"], z_norm, -1e30)
-            gm = jnp.max(z_masked, axis=0, keepdims=True)
-            m_new = jnp.maximum(m, gm)
-            scale = jnp.exp((m - m_new) / cfg.gamma)
-            ez = jnp.exp((z_masked - m_new) / cfg.gamma)
-            contrib = ez * frag  # [G, P]
+                # alpha product in log space (Mosaic has no reduce_prod);
+                # log1p(-frag) = 0 for masked faces, -inf saturates correctly
+                la = la + jnp.sum(jnp.log1p(-frag), axis=0, keepdims=True)
 
-            s = s * scale + jnp.sum(contrib, axis=0, keepdims=True)
-            if not cfg.mask_only:
+                z_norm = (cfg.far - pm["zp"]) / (cfg.far - cfg.near)
+                z_masked = jnp.where(pm["rgb_valid"], z_norm, -1e30)
+                gm = jnp.max(z_masked, axis=0, keepdims=True)
+                m_new = jnp.maximum(m, gm)
+                scale = jnp.exp((m - m_new) / cfg.gamma)
+                ez = jnp.exp((z_masked - m_new) / cfg.gamma)
+                contrib = ez * frag  # [G, P]
+
+                s = s * scale + jnp.sum(contrib, axis=0, keepdims=True)
+                if not cfg.mask_only:
+                    colr, colg, colb = texcolors(pm, g0)
+                    c0 = c0 * scale + jnp.sum(contrib * colr, axis=0,
+                                              keepdims=True)
+                    c1 = c1 * scale + jnp.sum(contrib * colg, axis=0,
+                                              keepdims=True)
+                    c2 = c2 * scale + jnp.sum(contrib * colb, axis=0,
+                                              keepdims=True)
+
+                # p2f partials for this group of entries
+                if cfg.p2f:
+                    p2f_scratch[pl.ds(g0, GROUP), 0:1] = jnp.sum(
+                        contrib * gx, axis=1, keepdims=True
+                    )
+                    p2f_scratch[pl.ds(g0, GROUP), 1:2] = jnp.sum(
+                        contrib * gy, axis=1, keepdims=True
+                    )
+                    p2f_scratch[pl.ds(g0, GROUP), 2:3] = jnp.sum(
+                        contrib, axis=1, keepdims=True
+                    )
+                return m_new, s, c0, c1, c2, la
+
+            def body_hard(i, carry):
+                """Hard z-min RGB + face ids (ref: ...cuda_kernel.cu:408-415)."""
+                depth, fidv, c0, c1, c2, la = carry
+                g0 = i * GROUP
+                vmask = (g0 + sub_iota) < n
+                pm = _pair_math(slab, g0, xp, yp, vmask, cfg)
+                frag = pm["frag"]
+                la = la + jnp.sum(jnp.log1p(-frag), axis=0, keepdims=True)
+
+                cand = (pm["valid"] & pm["z_ok"] & pm["inside01"]
+                        & pm["front_ok"])
+                zc = jnp.where(cand, pm["zp"], 1e7)
+                gmin = jnp.min(zc, axis=0, keepdims=True)
+                fid_cand = jnp.where(cand, pm["fid"] * jnp.ones_like(zc), 1e9)
+                fid_min = jnp.min(
+                    jnp.where(zc == gmin, fid_cand, 1e9), axis=0, keepdims=True
+                )
                 colr, colg, colb = texcolors(pm, g0)
-                c0 = c0 * scale + jnp.sum(contrib * colr, axis=0,
-                                          keepdims=True)
-                c1 = c1 * scale + jnp.sum(contrib * colg, axis=0,
-                                          keepdims=True)
-                c2 = c2 * scale + jnp.sum(contrib * colb, axis=0,
-                                          keepdims=True)
+                winsel = ((zc == gmin) & (fid_cand == fid_min)).astype(dtype)
+                gc0 = jnp.sum(winsel * colr, axis=0, keepdims=True)
+                gc1 = jnp.sum(winsel * colg, axis=0, keepdims=True)
+                gc2 = jnp.sum(winsel * colb, axis=0, keepdims=True)
 
-            # p2f partials for this group of entries
-            if cfg.p2f:
-                p2f_scratch[pl.ds(g0, GROUP), 0:1] = jnp.sum(
-                    contrib * gx, axis=1, keepdims=True
+                better = gmin < depth
+                depth = jnp.where(better, gmin, depth)
+                fidv = jnp.where(better, fid_min, fidv)
+                c0 = jnp.where(better, gc0, c0)
+                c1 = jnp.where(better, gc1, c1)
+                c2 = jnp.where(better, gc2, c2)
+                return depth, fidv, c0, c1, c2, la
+
+            n_groups = (n + GROUP - 1) // GROUP
+            a0 = jnp.zeros((1, cfg.P), dtype)
+            if cfg.hard:
+                carry0 = (
+                    jnp.full((1, cfg.P), 1e7, dtype),
+                    jnp.full((1, cfg.P), 1e9, dtype),
+                    jnp.full((1, cfg.P), cfg.bg[0], dtype),
+                    jnp.full((1, cfg.P), cfg.bg[1], dtype),
+                    jnp.full((1, cfg.P), cfg.bg[2], dtype),
+                    a0,
                 )
-                p2f_scratch[pl.ds(g0, GROUP), 1:2] = jnp.sum(
-                    contrib * gy, axis=1, keepdims=True
+                depth, fidv, c0, c1, c2, la = jax.lax.fori_loop(
+                    0, n_groups, body_hard, carry0
                 )
-                p2f_scratch[pl.ds(g0, GROUP), 2:3] = jnp.sum(
-                    contrib, axis=1, keepdims=True
+                has = fidv < 1e8
+                out_ref[0, tl] = jnp.concatenate(
+                    [
+                        jnp.where(has, c0, cfg.bg[0]),
+                        jnp.where(has, c1, cfg.bg[1]),
+                        jnp.where(has, c2, cfg.bg[2]),
+                        1.0 - jnp.exp(la),
+                        depth,
+                        jnp.where(has, fidv, -1.0),
+                        jnp.zeros((2, cfg.P), dtype),
+                    ],
+                    axis=0,
                 )
-            return m_new, s, c0, c1, c2, la
+            else:
+                carry0 = (
+                    jnp.full((1, cfg.P), cfg.eps, dtype),
+                    jnp.full((1, cfg.P), cfg.bg_weight, dtype),
+                    jnp.full((1, cfg.P), cfg.bg[0] * cfg.bg_weight, dtype),
+                    jnp.full((1, cfg.P), cfg.bg[1] * cfg.bg_weight, dtype),
+                    jnp.full((1, cfg.P), cfg.bg[2] * cfg.bg_weight, dtype),
+                    a0,
+                )
+                m, s, c0, c1, c2, la = jax.lax.fori_loop(
+                    0, n_groups, body_softmax, carry0
+                )
+                out_ref[0, tl] = jnp.concatenate(
+                    [c0 / s, c1 / s, c2 / s, 1.0 - jnp.exp(la), s, m,
+                     jnp.zeros((2, cfg.P), dtype)],
+                    axis=0,
+                )
+                # per-entry p2f partials -> HBM (softmax mode only; the
+                # reference hard path never writes p2f, ...cuda_kernel.cu)
+                if cfg.p2f:
+                    wr = pltpu.make_async_copy(
+                        p2f_scratch.at[pl.ds(0, cfg.mf_cap), :],
+                        p2f_ref.at[b, pl.ds(start, cfg.mf_cap), :],
+                        sems.at[2],
+                    )
+                    wr.start()
+                    wr.wait()
 
-        def body_hard(i, carry):
-            """Hard z-min RGB + face ids (ref: ...cuda_kernel.cu:408-415)."""
-            depth, fidv, c0, c1, c2, la = carry
-            g0 = i * GROUP
-            vmask = (g0 + sub_iota) < n
-            pm = _pair_math(slab, g0, xp, yp, vmask, cfg)
-            frag = pm["frag"]
-            la = la + jnp.sum(jnp.log1p(-frag), axis=0, keepdims=True)
-
-            cand = (pm["valid"] & pm["z_ok"] & pm["inside01"]
-                    & pm["front_ok"])
-            zc = jnp.where(cand, pm["zp"], 1e7)
-            gmin = jnp.min(zc, axis=0, keepdims=True)
-            fid_cand = jnp.where(cand, pm["fid"] * jnp.ones_like(zc), 1e9)
-            fid_min = jnp.min(
-                jnp.where(zc == gmin, fid_cand, 1e9), axis=0, keepdims=True
-            )
-            colr, colg, colb = texcolors(pm, g0)
-            winsel = ((zc == gmin) & (fid_cand == fid_min)).astype(dtype)
-            gc0 = jnp.sum(winsel * colr, axis=0, keepdims=True)
-            gc1 = jnp.sum(winsel * colg, axis=0, keepdims=True)
-            gc2 = jnp.sum(winsel * colb, axis=0, keepdims=True)
-
-            better = gmin < depth
-            depth = jnp.where(better, gmin, depth)
-            fidv = jnp.where(better, fid_min, fidv)
-            c0 = jnp.where(better, gc0, c0)
-            c1 = jnp.where(better, gc1, c1)
-            c2 = jnp.where(better, gc2, c2)
-            return depth, fidv, c0, c1, c2, la
-
-        n_groups = (n + GROUP - 1) // GROUP
-        a0 = jnp.zeros((1, cfg.P), dtype)
-        if cfg.hard:
-            carry0 = (
-                jnp.full((1, cfg.P), 1e7, dtype),
-                jnp.full((1, cfg.P), 1e9, dtype),
-                jnp.full((1, cfg.P), cfg.bg[0], dtype),
-                jnp.full((1, cfg.P), cfg.bg[1], dtype),
-                jnp.full((1, cfg.P), cfg.bg[2], dtype),
-                a0,
-            )
-            depth, fidv, c0, c1, c2, la = jax.lax.fori_loop(
-                0, n_groups, body_hard, carry0
-            )
-            has = fidv < 1e8
-            out_ref[0, 0] = jnp.concatenate(
-                [
-                    jnp.where(has, c0, cfg.bg[0]),
-                    jnp.where(has, c1, cfg.bg[1]),
-                    jnp.where(has, c2, cfg.bg[2]),
-                    1.0 - jnp.exp(la),
-                    depth,
-                    jnp.where(has, fidv, -1.0),
+        @pl.when(n <= 0)
+        def _():
+            if cfg.hard:
+                rows = [
+                    jnp.full((1, cfg.P), cfg.bg[0], dtype),
+                    jnp.full((1, cfg.P), cfg.bg[1], dtype),
+                    jnp.full((1, cfg.P), cfg.bg[2], dtype),
+                    jnp.zeros((1, cfg.P), dtype),
+                    jnp.full((1, cfg.P), 1e7, dtype),
+                    jnp.full((1, cfg.P), -1.0, dtype),
                     jnp.zeros((2, cfg.P), dtype),
-                ],
-                axis=0,
-            )
-        else:
-            carry0 = (
-                jnp.full((1, cfg.P), cfg.eps, dtype),
-                jnp.full((1, cfg.P), cfg.bg_weight, dtype),
-                jnp.full((1, cfg.P), cfg.bg[0] * cfg.bg_weight, dtype),
-                jnp.full((1, cfg.P), cfg.bg[1] * cfg.bg_weight, dtype),
-                jnp.full((1, cfg.P), cfg.bg[2] * cfg.bg_weight, dtype),
-                a0,
-            )
-            m, s, c0, c1, c2, la = jax.lax.fori_loop(
-                0, n_groups, body_softmax, carry0
-            )
-            out_ref[0, 0] = jnp.concatenate(
-                [c0 / s, c1 / s, c2 / s, 1.0 - jnp.exp(la), s, m,
-                 jnp.zeros((2, cfg.P), dtype)],
-                axis=0,
-            )
-            # per-entry p2f partials -> HBM (softmax mode only; the
-            # reference hard path never writes p2f, ...cuda_kernel.cu)
-            if cfg.p2f:
-                wr = pltpu.make_async_copy(
-                    p2f_scratch.at[pl.ds(0, cfg.mf_cap), :],
-                    p2f_ref.at[b, pl.ds(start, cfg.mf_cap), :],
-                    sems.at[2],
-                )
-                wr.start()
-                wr.wait()
+                ]
+            else:
+                rows = [
+                    jnp.full((1, cfg.P), cfg.bg[0], dtype),
+                    jnp.full((1, cfg.P), cfg.bg[1], dtype),
+                    jnp.full((1, cfg.P), cfg.bg[2], dtype),
+                    jnp.zeros((1, cfg.P), dtype),
+                    jnp.full((1, cfg.P), cfg.bg_weight, dtype),
+                    jnp.full((1, cfg.P), cfg.eps, dtype),
+                    jnp.zeros((2, cfg.P), dtype),
+                ]
+            out_ref[0, tl] = jnp.concatenate(rows, axis=0)
 
-    @pl.when(n <= 0)
-    def _():
-        if cfg.hard:
-            rows = [
-                jnp.full((1, cfg.P), cfg.bg[0], dtype),
-                jnp.full((1, cfg.P), cfg.bg[1], dtype),
-                jnp.full((1, cfg.P), cfg.bg[2], dtype),
-                jnp.zeros((1, cfg.P), dtype),
-                jnp.full((1, cfg.P), 1e7, dtype),
-                jnp.full((1, cfg.P), -1.0, dtype),
-                jnp.zeros((2, cfg.P), dtype),
-            ]
-        else:
-            rows = [
-                jnp.full((1, cfg.P), cfg.bg[0], dtype),
-                jnp.full((1, cfg.P), cfg.bg[1], dtype),
-                jnp.full((1, cfg.P), cfg.bg[2], dtype),
-                jnp.zeros((1, cfg.P), dtype),
-                jnp.full((1, cfg.P), cfg.bg_weight, dtype),
-                jnp.full((1, cfg.P), cfg.eps, dtype),
-                jnp.zeros((2, cfg.P), dtype),
-            ]
-        out_ref[0, 0] = jnp.concatenate(rows, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, cfg.tpg, tile_body, 0)
 
 
 def _run_fwd_kernel(entry_data, starts, cfg: _Cfg, B, E_pad, n_tiles):
     dtype = entry_data.dtype
+    assert n_tiles % cfg.tpg == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, n_tiles),
+        grid=(B, n_tiles // cfg.tpg),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 8, cfg.P), lambda b, t, s: (b, t, 0, 0)),
+            pl.BlockSpec((1, cfg.tpg, 8, cfg.P),
+                         lambda b, t, s: (b, t, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
@@ -613,8 +623,12 @@ def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
     T2 = textures.shape[2]
     cfg = _make_cfg(S, bgc, near, far, eps, sigma, dist_eps, gamma,
                     double_side, ts, T2, mf_cap, hard=hard)
+    n_tiles_ = cfg.TX * cfg.TX
+    tpg = 8
+    while n_tiles_ % tpg:
+        tpg //= 2
     cfg = cfg._replace(p2f=(need_p2f and not hard),
-                       mask_only=(mask_only and not hard))
+                       mask_only=(mask_only and not hard), tpg=tpg)
     n_tiles = cfg.TX * cfg.TX
 
     (planes, al_fids, astarts, entry_data, E_al, E_pad
