@@ -9,6 +9,11 @@ TPU-first re-design notes:
     renders of 3 duplicated channels (ref: loss_utils.py:379-399) —
     identical math because channels share the same softmax aggregation
     weights, and each group rides the Pallas kernel path.
+  - on the Pallas path the silhouette and texture hypothesis renders are
+    FUSED into one kernel pass (multi_mask_texture_render): rgb gradients
+    are routed to textures only (rgb_geom_detach), which reproduces the
+    reference's detached-geometry texture render exactly while halving
+    per-step rasterization work.
 """
 
 from __future__ import annotations
@@ -78,6 +83,53 @@ def multi_mask_loss(renderer: SoftRenderer, vs, faces, cams_all_hypo,
     masks = _rep_hypo(masks_gt, K)
     loss = neg_iou_loss(mask_all_hypo, masks, avg=False).reshape(B, K)
     return (loss * cam_probs).sum(1).mean(), mask_all_hypo
+
+
+def multi_mask_texture_render(renderer, tex_renderer, vs, faces,
+                              cams_all_hypo, tex, chunks=1):
+    """Fused per-hypothesis silhouette + texture render.
+
+    The reference renders silhouettes with live geometry and textures with
+    detached geometry (ref: train_s2.py:226,248) — same geometry values.
+    On the Pallas path ONE render serves both: rgb gradients are routed to
+    textures only (rgb_geom_detach), alpha gradients flow to geometry,
+    halving per-step rasterization. On XLA paths the two renders stay
+    separate (exact-AD cannot split gradient routes per output).
+
+    Returns (mask_all_hypo [B*K,H,W] with live-geometry grads,
+             texture_pred [B*K,H,W,3] with texture-only grads).
+    """
+    B, K = cams_all_hypo.shape[:2]
+    pred_vs = _rep_hypo(vs, K)
+    cams = cams_all_hypo.reshape(B * K, 7)
+    texs = _rep_hypo(tex, K)
+
+    if tex_renderer.uses_pallas():
+        def render_slice(i0, m):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, m, 0)
+            out = tex_renderer.render(
+                sl(pred_vs), faces, sl(cams), sl(texs),
+                rgb_geom_detach=True,
+            )
+            return out.rgba[..., 3], out.rgba[..., :3]
+
+        return _chunked_render(render_slice, B * K, chunks)
+
+    def mask_slice(i0, m):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, m, 0)
+        return renderer.render(
+            sl(pred_vs), faces, sl(cams), mask_only=True
+        ).rgba[..., 3]
+
+    def tex_slice(i0, m):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, m, 0)
+        return tex_renderer.render(
+            stop(sl(pred_vs)), faces, stop(sl(cams)), sl(texs)
+        ).rgba[..., :3]
+
+    mask_all = _chunked_render(mask_slice, B * K, chunks)
+    tex_pred = _chunked_render(tex_slice, B * K, chunks)
+    return mask_all, tex_pred
 
 
 def multi_texture_loss(

@@ -114,6 +114,11 @@ class _Cfg(NamedTuple):
     hard: bool
     p2f: bool = True
     mask_only: bool = False
+    # block the rgb->geometry gradient path in the backward (texture grads
+    # kept): renders where the reference detaches shape/cameras for the
+    # texture branch but keeps live geometry for the silhouette
+    # (ref: train_s2.py:246-248) can then be fused with the mask render
+    rgb_geom_detach: bool = False
     tpg: int = 8   # tiles per grid step (amortizes per-step overhead)
 
 
@@ -503,6 +508,7 @@ def soft_rasterize_pallas(
     aggr_func_rgb="softmax",
     need_p2f=True,
     mask_only=False,
+    rgb_geom_detach=False,
 ):
     """Training-config rasterizer (euclidean dist, prod alpha, surface
     textures; softmax or hard RGB).
@@ -519,6 +525,7 @@ def soft_rasterize_pallas(
         float(eps), float(sigma_val), float(dist_eps), float(gamma_val),
         bool(double_side), int(tile_size), int(max_cover), int(mf_cap),
         aggr_func_rgb == "hard", bool(need_p2f), bool(mask_only),
+        bool(rgb_geom_detach),
     )
 
 
@@ -604,10 +611,10 @@ def _prepare(face_vertices, textures, cfg: _Cfg, max_cover):
     return (planes, al_fids, astarts, entry_data, E_al, E_pad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 17)))
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 18)))
 def _pallas_raster_vjp(face_vertices, textures, S, bgc, near, far, eps,
                        sigma, dist_eps, gamma, double_side, ts, max_cover,
-                       mf_cap, hard, need_p2f, mask_only):
+                       mf_cap, hard, need_p2f, mask_only, rgb_geom_detach):
     out, _res = _pallas_fwd(
         face_vertices, textures, S, bgc, near, far, eps, sigma, dist_eps,
         gamma, double_side, ts, max_cover, mf_cap, hard, need_p2f,
@@ -618,7 +625,10 @@ def _pallas_raster_vjp(face_vertices, textures, S, bgc, near, far, eps,
 
 def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
                 dist_eps, gamma, double_side, ts, max_cover, mf_cap,
-                hard=False, need_p2f=True, mask_only=False):
+                hard=False, need_p2f=True, mask_only=False,
+                rgb_geom_detach=False):
+    # rgb_geom_detach only affects the backward pass (raster_kernel_bwd)
+    del rgb_geom_detach
     B, F = face_vertices.shape[:2]
     T2 = textures.shape[2]
     cfg = _make_cfg(S, bgc, near, far, eps, sigma, dist_eps, gamma,
@@ -663,8 +673,8 @@ def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
 
 
 def _pallas_bwd(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
-                ts, max_cover, mf_cap, hard, need_p2f, mask_only, res,
-                grads):
+                ts, max_cover, mf_cap, hard, need_p2f, mask_only,
+                rgb_geom_detach, res, grads):
     from .raster_kernel_bwd import run_backward
 
     face_vertices, textures, rgba, aggr = res
@@ -676,7 +686,7 @@ def _pallas_bwd(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
     return run_backward(
         face_vertices, textures, rgba, aggr, g_rgba,
         S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side, ts,
-        max_cover, mf_cap, mask_only,
+        max_cover, mf_cap, mask_only, rgb_geom_detach,
     )
 
 

@@ -130,20 +130,27 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
                     axis=1,
                 )
 
-                # C_rgb / frag stably as ez/s * sum_c g_c (col_c - rgb_c)
-                dcol = (g_r * (colr - rgb_r) + g_g * (colg - rgb_g)
-                        + g_b * (colb - rgb_b))
-                C_rgb_over_frag = ez_over_s * rgb_on * dcol
-                C_rgb = C_rgb_over_frag * frag
-                C_grad_xy = C_grad_xy + C_rgb_over_frag
+                if cfg.rgb_geom_detach:
+                    # fused mask+texture render: the reference detaches
+                    # geometry for the texture branch, so rgb gradients
+                    # reach textures only
+                    gz = [jnp.zeros((rk.GROUP, 1), dtype)
+                          for _ in range(3)]
+                else:
+                    # C_rgb/frag stably: ez/s * sum_c g_c (col_c - rgb_c)
+                    dcol = (g_r * (colr - rgb_r) + g_g * (colg - rgb_g)
+                            + g_b * (colb - rgb_b))
+                    C_rgb_over_frag = ez_over_s * rgb_on * dcol
+                    C_rgb = C_rgb_over_frag * frag
+                    C_grad_xy = C_grad_xy + C_rgb_over_frag
 
-                # depth gradient (:624-627)
-                C_z = C_rgb / cfg.gamma / (cfg.near - cfg.far) * zp * zp
-                gz = [
-                    jnp.sum(zgate * C_z * wc[k] / (z[k] * z[k]),
-                            axis=1, keepdims=True)
-                    for k in range(3)
-                ]
+                    # depth gradient (:624-627)
+                    C_z = C_rgb / cfg.gamma / (cfg.near - cfg.far) * zp * zp
+                    gz = [
+                        jnp.sum(zgate * C_z * wc[k] / (z[k] * z[k]),
+                                axis=1, keepdims=True)
+                        for k in range(3)
+                    ]
 
             # sigmoid + euclidean distance chain (:632-643)
             C_grad_xy = C_grad_xy * frag * (1.0 - frag) / cfg.sigma
@@ -189,14 +196,16 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
 
 def run_backward(face_vertices, textures, rgba, aggr,
                  g_rgba, S, bgc, near, far, eps, sigma, dist_eps, gamma,
-                 double_side, ts, max_cover, mf_cap, mask_only=False):
+                 double_side, ts, max_cover, mf_cap, mask_only=False,
+                 rgb_geom_detach=False):
     """Returns (grad_face_vertices [B,F,3,3], grad_textures [B,F,T2,3])."""
     B, F = face_vertices.shape[:2]
     T2 = textures.shape[2]
     dtype = face_vertices.dtype
     cfg = rk._make_cfg(S, bgc, near, far, eps, sigma, dist_eps, gamma,
                        double_side, ts, T2, mf_cap)
-    cfg = cfg._replace(mask_only=mask_only)
+    cfg = cfg._replace(mask_only=mask_only,
+                       rgb_geom_detach=rgb_geom_detach)
     TX, P = cfg.TX, cfg.P
     n_tiles = TX * TX
 

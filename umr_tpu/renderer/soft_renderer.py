@@ -118,12 +118,27 @@ class SoftRenderer:
         return orthographic_proj_withz(verts, cams)[:, :, :2]
 
     def __call__(self, vertices, faces, cams, textures=None,
-                 need_p2f=False, mask_only=False):
+                 need_p2f=False, mask_only=False, rgb_geom_detach=False):
         return self.render(vertices, faces, cams, textures, need_p2f,
-                           mask_only)
+                           mask_only, rgb_geom_detach)
+
+    def uses_pallas(self, textures_channels=3):
+        import jax as _jax
+
+        render_size = self.image_size * (2 if self.anti_aliasing else 1)
+        return (
+            self.impl in ("auto", "pallas")
+            and _jax.default_backend() == "tpu"
+            and self.dist_func == "euclidean"
+            and self.aggr_func_alpha == "prod"
+            and self.render_type in ("softmax", "hard")
+            and render_size % self.tile_size == 0
+            and textures_channels == 3
+        )
 
     def render(self, vertices, faces, cams, textures=None,
-               need_p2f=False, mask_only=False) -> RasterOut:
+               need_p2f=False, mask_only=False,
+               rgb_geom_detach=False) -> RasterOut:
         """vertices: [B,V,3]; faces: [F,3] or [B,F,3]; cams: [B,7];
         textures: [B,F,T2,3] or None. Returns RasterOut with
         rgba [B,H,W,4] at image_size (after 2x supersampled AA if enabled).
@@ -206,6 +221,7 @@ class SoftRenderer:
                 aggr_func_rgb=self.render_type,
                 need_p2f=need_p2f,
                 mask_only=mask_only,
+                rgb_geom_detach=rgb_geom_detach,
             )
         elif use_binned:
             from ..ops.rasterize_binned import soft_rasterize_binned

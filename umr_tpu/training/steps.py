@@ -38,7 +38,11 @@ from ..losses import (
     texture_dt_loss,
 )
 from ..losses.losses import cam_diversity_loss
-from ..losses.composite import PartMatchingLoss, gan_loss
+from ..losses.composite import (
+    PartMatchingLoss,
+    gan_loss,
+    multi_mask_texture_render,
+)
 from ..models import Discriminator, LPIPSAlex, MeshNet, MeshNetS1
 from ..models.mesh_net import symmetrize
 from ..ops.grid_sample import sample_textures
@@ -182,12 +186,31 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
 
         sc = {}
         sc["cam_div_loss"] = cam_diversity_loss(cam_probs)
+        K = cams_all.shape[1]
 
-        mask_loss, mask_all_hypo = multi_mask_loss(
-            renderer, pred_vs, faces, cams_all, cam_probs, masks,
-            chunks=cfg.hypo_render_chunks,
-        )
-        sc["mask_loss"] = mask_loss
+        tex = None
+        if cfg.use_texture:
+            tex_flow = outputs["tex_flow"]
+            tex = sample_textures(tex_flow, imgs)       # [B,F,T,T,3]
+            T = tex.shape[2]
+            tex = tex.reshape(B, tex.shape[1], T * T, 3)
+
+            # fused silhouette + texture hypothesis render: one kernel
+            # pass; rgb grads go to textures only (reference detaches
+            # geometry in the texture branch, train_s2.py:246-248)
+            mask_all_hypo, texture_pred = multi_mask_texture_render(
+                renderer, tex_renderer, pred_vs, faces, cams_all, tex,
+                chunks=cfg.hypo_render_chunks,
+            )
+        else:
+            _, mask_all_hypo = multi_mask_loss(
+                renderer, pred_vs, faces, cams_all, cam_probs, masks,
+                chunks=cfg.hypo_render_chunks,
+            )
+
+        masks_rep = jnp.repeat(masks, K, axis=0)
+        mloss = neg_iou_loss(mask_all_hypo, masks_rep, avg=False)
+        sc["mask_loss"] = (mloss.reshape(B, K) * cam_probs).sum(1).mean()
         sc["tri_loss"] = laplacian_loss(
             pred_vs, jnp.asarray(template.laplacian)
         ).mean()
@@ -204,21 +227,28 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
             + sc["cam_div_loss"] * cfg.ent_loss_wt
         )
 
-        tex = None
         if cfg.use_texture:
-            tex_flow = outputs["tex_flow"]
-            tex = sample_textures(tex_flow, imgs)       # [B,F,T,T,3]
-            T = tex.shape[2]
-            tex = tex.reshape(B, tex.shape[1], T * T, 3)
-
             def lpips_fn(a, b):
                 return lpips.apply({"params": state.lpips}, a, b)
 
-            tex_loss, dt_loss, cycle, _tex_pred = multi_texture_loss(
-                tex_renderer, hard_renderer, lpips_fn,
-                pred_vs, faces, stop(cams_all), stop(cam_probs), proj_cam,
-                imgs, masks, mask_all_hypo, tex, tex_flow,
-                batch["dts_barrier"], chunks=cfg.hypo_render_chunks,
+            # perceptual loss, hypothesis-weighted by detached probs
+            # (ref: loss_utils.py:300-323); the predicted masks stay live
+            pred_masked = texture_pred * mask_all_hypo[..., None]
+            gt_masked = (
+                jnp.repeat(imgs, K, axis=0)
+                * masks_rep[..., None]
+            )
+            dist = lpips_fn(2 * pred_masked - 1, 2 * gt_masked - 1)
+            tex_loss = (
+                dist.reshape(B, K) * stop(cam_probs)
+            ).sum(1).mean()
+            dt_loss = texture_dt_loss(tex_flow, batch["dts_barrier"])
+            hard_out = hard_renderer.render(
+                stop(pred_vs), faces, proj_cam
+            )
+            face_ids = hard_out.aggr[:, 1].reshape(B, -1)
+            cycle, _ = tex_cycle_loss(
+                tex_flow, stop(hard_out.p2f), stop(face_ids)
             )
             sc["tex_loss"] = tex_loss
             sc["tex_dt_loss"] = dt_loss
@@ -356,8 +386,27 @@ def build_s1_step(cfg: Config, template):
         proj_cam = outputs["cam"]
 
         sc = {}
-        seen = renderer.render(pred_vs, faces, proj_cam, mask_only=True)
-        mask_pred_seen = seen.rgba[..., 3]
+        tex = None
+        tex_out = None
+        if cfg.use_texture:
+            tex_flow = outputs["tex_flow"]
+            tex = sample_textures(tex_flow, imgs)
+            T = tex.shape[2]
+            tex = tex.reshape(B, tex.shape[1], T * T, 3)
+        if cfg.use_texture and tex_renderer.uses_pallas():
+            # fused seen-mask + texture render: one kernel pass; rgb
+            # gradients reach textures only (the reference detaches
+            # geometry and camera in its texture render,
+            # ref: train_s1.py:236-239), alpha gradients stay live
+            tex_out = tex_renderer.render(
+                pred_vs, faces, proj_cam, tex, need_p2f=True,
+                rgb_geom_detach=True,
+            )
+            mask_pred_seen = tex_out.rgba[..., 3]
+        else:
+            seen = renderer.render(pred_vs, faces, proj_cam,
+                                   mask_only=True)
+            mask_pred_seen = seen.rgba[..., 3]
         sc["mask_loss"] = neg_iou_loss(mask_pred_seen, masks)
         sc["tri_loss"] = laplacian_loss(
             pred_vs, jnp.asarray(template.laplacian)
@@ -383,13 +432,11 @@ def build_s1_step(cfg: Config, template):
         )
 
         if cfg.use_texture:
-            tex_flow = outputs["tex_flow"]
-            tex = sample_textures(tex_flow, imgs)
-            T = tex.shape[2]
-            tex = tex.reshape(B, tex.shape[1], T * T, 3)
-            tex_out = tex_renderer.render(
-                stop(pred_vs), faces, stop(proj_cam), tex, need_p2f=True
-            )
+            if tex_out is None:  # XLA fallback: separate detached render
+                tex_out = tex_renderer.render(
+                    stop(pred_vs), faces, stop(proj_cam), tex,
+                    need_p2f=True,
+                )
             texture_pred = tex_out.rgba[..., :3]
             a = 2 * (texture_pred * mask_pred_seen[..., None]) - 1
             b = 2 * (imgs * masks[..., None]) - 1
