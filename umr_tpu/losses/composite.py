@@ -104,7 +104,7 @@ def multi_mask_texture_render(renderer, tex_renderer, vs, faces,
     cams = cams_all_hypo.reshape(B * K, 7)
     texs = _rep_hypo(tex, K)
 
-    if tex_renderer.uses_pallas():
+    if tex_renderer.uses_pallas(textures_t2=tex.shape[2]):
         def render_slice(i0, m):
             sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, m, 0)
             out = tex_renderer.render(

@@ -160,7 +160,8 @@ def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
         a0 = [sym[3 * v0 + j] - sym[3 * v1 + j] for j in range(3)]
         denom = a0[v0] - a0[v1]
         denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-        tv0 = (w0 * a0[0] + w1 * a0[1] + w2 * a0[2] - a0[v1]) / denom
+        rden = 1.0 / denom  # [G,1]: per-face reciprocal, not per-pair
+        tv0 = (w0 * a0[0] + w1 * a0[1] + w2 * a0[2] - a0[v1]) * rden
         t = [None, None, None]
         t[v0] = tv0
         t[v1] = 1.0 - tv0
@@ -216,15 +217,17 @@ def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
     ]
     dis = dis_x * dis_x + dis_y * dis_y
     valid &= ~((sign < 0) & (dis >= cfg.threshold))
-    frag = jax.nn.sigmoid(sign * dis / cfg.sigma) * valid
+    frag = jax.nn.sigmoid(sign * dis * (1.0 / cfg.sigma)) * valid
 
-    # clip + depth
+    # clip + depth (divides hoisted: rz is per-face [G,1], rws is one
+    # reciprocal instead of three per-pair divides)
     w0c = jnp.clip(w0, 1e-5, 1.0 - 1e-5)
     w1c = jnp.clip(w1, 1e-5, 1.0 - 1e-5)
     w2c = jnp.clip(w2, 1e-5, 1.0 - 1e-5)
-    wsum = jnp.maximum(w0c + w1c + w2c, 1e-5)
-    w0c, w1c, w2c = w0c / wsum, w1c / wsum, w2c / wsum
-    zp = 1.0 / (w0c / z[0] + w1c / z[1] + w2c / z[2])
+    rws = 1.0 / jnp.maximum(w0c + w1c + w2c, 1e-5)
+    w0c, w1c, w2c = w0c * rws, w1c * rws, w2c * rws
+    rz = [1.0 / z[k] for k in range(3)]  # [G,1]
+    zp = 1.0 / (w0c * rz[0] + w1c * rz[1] + w2c * rz[2])
     z_ok = (zp >= cfg.near) & (zp <= cfg.far)
     front_ok = (front > 0) | cfg.double_side
     rgb_valid = valid & z_ok & front_ok & (frag > 0)
@@ -242,7 +245,7 @@ def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
                 & (w2 >= 0) & (w2 <= 1))
     return dict(
         valid=valid, frag=frag, sign=sign, dis_x=dis_x, dis_y=dis_y,
-        t=t_sel, w=(w0, w1, w2), wc=(w0c, w1c, w2c), z=z, zp=zp,
+        t=t_sel, w=(w0, w1, w2), wc=(w0c, w1c, w2c), z=z, rz=rz, zp=zp,
         rgb_valid=rgb_valid, tex_idx=tex_idx, inside=inside,
         inside01=inside01, z_ok=z_ok, front_ok=front_ok, fid=col(_PFID),
     )
@@ -312,12 +315,12 @@ def _fwd_kernel(starts_ref, data_hbm, out_ref, p2f_ref,
                 # log1p(-frag) = 0 for masked faces, -inf saturates correctly
                 la = la + jnp.sum(jnp.log1p(-frag), axis=0, keepdims=True)
 
-                z_norm = (cfg.far - pm["zp"]) / (cfg.far - cfg.near)
+                z_norm = (cfg.far - pm["zp"]) * (1.0 / (cfg.far - cfg.near))
                 z_masked = jnp.where(pm["rgb_valid"], z_norm, -1e30)
                 gm = jnp.max(z_masked, axis=0, keepdims=True)
                 m_new = jnp.maximum(m, gm)
-                scale = jnp.exp((m - m_new) / cfg.gamma)
-                ez = jnp.exp((z_masked - m_new) / cfg.gamma)
+                scale = jnp.exp((m - m_new) * (1.0 / cfg.gamma))
+                ez = jnp.exp((z_masked - m_new) * (1.0 / cfg.gamma))
                 contrib = ez * frag  # [G, P]
 
                 s = s * scale + jnp.sum(contrib, axis=0, keepdims=True)
@@ -413,8 +416,9 @@ def _fwd_kernel(starts_ref, data_hbm, out_ref, p2f_ref,
                 m, s, c0, c1, c2, la = jax.lax.fori_loop(
                     0, n_groups, body_softmax, carry0
                 )
+                rs = 1.0 / s
                 out_ref[0, tl] = jnp.concatenate(
-                    [c0 / s, c1 / s, c2 / s, 1.0 - jnp.exp(la), s, m,
+                    [c0 * rs, c1 * rs, c2 * rs, 1.0 - jnp.exp(la), s, m,
                      jnp.zeros((2, cfg.P), dtype)],
                     axis=0,
                 )
@@ -509,6 +513,7 @@ def soft_rasterize_pallas(
     need_p2f=True,
     mask_only=False,
     rgb_geom_detach=False,
+    entry_cap=None,
 ):
     """Training-config rasterizer (euclidean dist, prod alpha, surface
     textures; softmax or hard RGB).
@@ -517,7 +522,8 @@ def soft_rasterize_pallas(
     face_vertices and textures with the reference CUDA backward's
     semantics (see module docstring); the hard-RGB mode is forward-only
     (callers use it under stop_gradient, like the reference visibility
-    pass).
+    pass). entry_cap bounds the binned entry array (default 8*F; see
+    _prepare).
     """
     return _pallas_raster_vjp(
         face_vertices, textures,
@@ -526,6 +532,7 @@ def soft_rasterize_pallas(
         bool(double_side), int(tile_size), int(max_cover), int(mf_cap),
         aggr_func_rgb == "hard", bool(need_p2f), bool(mask_only),
         bool(rgb_geom_detach),
+        None if entry_cap is None else int(entry_cap),
     )
 
 
@@ -541,8 +548,18 @@ def _make_cfg(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
     )
 
 
-def _prepare(face_vertices, textures, cfg: _Cfg, max_cover):
-    """Binning + entry gathering (shared by fwd and bwd)."""
+def _prepare(face_vertices, textures, cfg: _Cfg, max_cover,
+             entry_cap=None):
+    """Binning + entry gathering (shared by fwd and bwd).
+
+    entry_cap bounds the materialized entry array (the dominant HBM cost
+    of a render: each entry is a 256-lane row). The uncapped bound is
+    F*max_cover^2 + padding, ~4x what real scenes use; the default cap of
+    8*F keeps ~2x headroom over measured training scenes. When a scene
+    exceeds the cap, the highest-tile-id entries are dropped (same
+    truncation-by-capacity semantics as mf_cap). fwd and bwd share this
+    deterministic layout, so gradients always match the rendered image.
+    """
     B, F = face_vertices.shape[:2]
     planes = build_face_planes(face_vertices)  # [B, F, NP]
     face_valid = jnp.ones((F,), bool)
@@ -565,11 +582,21 @@ def _prepare(face_vertices, textures, cfg: _Cfg, max_cover):
     # every cull rejects.
     counts = jnp.minimum(starts[:, 1:] - starts[:, :-1], cfg.mf_cap)
     padded = ((counts + GROUP - 1) // GROUP) * GROUP
-    astarts = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(padded, axis=1)], axis=1
-    ).astype(jnp.int32)
     E_al = E + GROUP * n_tiles_b          # static upper bound
+    if entry_cap is None:
+        entry_cap = 8 * F
+    E_al = min(E_al, ((int(entry_cap) + GROUP - 1) // GROUP) * GROUP)
     E_pad = E_al + cfg.mf_cap             # so ds(start, mf_cap) fits
+
+    ends = jnp.minimum(jnp.cumsum(padded, axis=1), E_al).astype(jnp.int32)
+    astarts = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), ends], axis=1
+    )
+    # per-tile admitted entries: capacity may shrink when the cap bites
+    allowed = jnp.minimum(counts, ends - astarts[:, :-1])
+    allowed_ext = jnp.concatenate(
+        [allowed, jnp.zeros((B, 1), jnp.int32)], axis=1
+    )
 
     key_clip = jnp.minimum(sorted_keys, n_tiles_b)
     starts_ext = jnp.concatenate([starts, starts[:, -1:]], axis=1)
@@ -578,7 +605,9 @@ def _prepare(face_vertices, textures, cfg: _Cfg, max_cover):
         jnp.arange(E, dtype=jnp.int32)[None, :]
         - jnp.take_along_axis(starts_ext, key_clip, axis=1)
     )
-    entry_ok = (sorted_keys < n_tiles_b) & (rank < cfg.mf_cap)
+    entry_ok = (sorted_keys < n_tiles_b) & (
+        rank < jnp.take_along_axis(allowed_ext, key_clip, axis=1)
+    )
     position = jnp.take_along_axis(astarts_ext, key_clip, axis=1) + rank
     position = jnp.where(entry_ok, position, E_al)  # dump slot
 
@@ -611,14 +640,15 @@ def _prepare(face_vertices, textures, cfg: _Cfg, max_cover):
     return (planes, al_fids, astarts, entry_data, E_al, E_pad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 18)))
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 19)))
 def _pallas_raster_vjp(face_vertices, textures, S, bgc, near, far, eps,
                        sigma, dist_eps, gamma, double_side, ts, max_cover,
-                       mf_cap, hard, need_p2f, mask_only, rgb_geom_detach):
+                       mf_cap, hard, need_p2f, mask_only, rgb_geom_detach,
+                       entry_cap):
     out, _res = _pallas_fwd(
         face_vertices, textures, S, bgc, near, far, eps, sigma, dist_eps,
         gamma, double_side, ts, max_cover, mf_cap, hard, need_p2f,
-        mask_only,
+        mask_only, entry_cap=entry_cap,
     )
     return out
 
@@ -626,7 +656,7 @@ def _pallas_raster_vjp(face_vertices, textures, S, bgc, near, far, eps,
 def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
                 dist_eps, gamma, double_side, ts, max_cover, mf_cap,
                 hard=False, need_p2f=True, mask_only=False,
-                rgb_geom_detach=False):
+                rgb_geom_detach=False, entry_cap=None):
     # rgb_geom_detach only affects the backward pass (raster_kernel_bwd)
     del rgb_geom_detach
     B, F = face_vertices.shape[:2]
@@ -642,7 +672,7 @@ def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
     n_tiles = cfg.TX * cfg.TX
 
     (planes, al_fids, astarts, entry_data, E_al, E_pad
-     ) = _prepare(face_vertices, textures, cfg, max_cover)
+     ) = _prepare(face_vertices, textures, cfg, max_cover, entry_cap)
 
     out, p2f_entry = _run_fwd_kernel(
         entry_data, astarts, cfg, B, E_pad, n_tiles
@@ -674,7 +704,7 @@ def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
 
 def _pallas_bwd(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
                 ts, max_cover, mf_cap, hard, need_p2f, mask_only,
-                rgb_geom_detach, res, grads):
+                rgb_geom_detach, entry_cap, res, grads):
     from .raster_kernel_bwd import run_backward
 
     face_vertices, textures, rgba, aggr = res
@@ -686,7 +716,7 @@ def _pallas_bwd(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
     return run_backward(
         face_vertices, textures, rgba, aggr, g_rgba,
         S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side, ts,
-        max_cover, mf_cap, mask_only, rgb_geom_detach,
+        max_cover, mf_cap, mask_only, rgb_geom_detach, entry_cap,
     )
 
 

@@ -18,8 +18,12 @@ gradient at all (the CUDA `continue` at :592 also skips its alpha-path
 distance gradient). The XLA paths use exact autodiff instead, which keeps
 additional (small) terms; tests compare both against the CUDA semantics.
 
-Per-entry gradients are written to HBM and segment-summed per face in XLA
-(replacing the reference's atomicAdd).
+Per-entry gradients are packed into ONE 128-lane row per entry
+(lanes 0:9 face x/y/z grads, lanes 9:9+3*T2 texel grads), written to HBM
+and segment-summed per face in XLA in a single scatter-add pass
+(replacing the reference's atomicAdd). Packing requires 9 + 3*T2 <= 128,
+i.e. tex_size <= 6 — the reference's training configs; larger textures
+take the XLA rasterizer paths.
 """
 
 from __future__ import annotations
@@ -35,10 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import raster_kernel as rk
 
+# lane offset of the texel-gradient block inside the packed output row
+_GTEX0 = 9
+
 
 def _bwd_kernel(starts_ref, data_hbm, pix_ref,
-                gplanes_ref, gtex_ref,
-                slab, gface_scratch, gtex_scratch, sems,
+                gout_ref,
+                slab, gout_scratch, sems,
                 *, cfg: rk._Cfg):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -71,6 +78,7 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
         alpha = pix[7:8]
         s_tot = pix[8:9]
         m_tot = pix[9:10]
+        rs_tot = 1.0 / s_tot  # hoisted out of the group loop
 
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (rk.GROUP, 1), 0)
 
@@ -81,7 +89,6 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
             frag = pm["frag"]
             zp = pm["zp"]
             wc = pm["wc"]
-            z = pm["z"]
 
             # depth-range gate: outside [near, far] -> NO gradient at all
             # (CUDA `continue`, :592)
@@ -94,20 +101,22 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
             # softmax rgb channel (:604-627); exp arg masked before exp so
             # culled faces cannot overflow to inf (inf * 0 = nan)
             rgb_on = pm["rgb_valid"].astype(dtype)
-            z_norm = (cfg.far - zp) / (cfg.far - cfg.near)
+            z_norm = (cfg.far - zp) * (1.0 / (cfg.far - cfg.near))
             z_arg = jnp.where(
-                pm["rgb_valid"], (z_norm - m_tot) / cfg.gamma, -1e30
+                pm["rgb_valid"], (z_norm - m_tot) * (1.0 / cfg.gamma),
+                -1e30,
             )
-            ez_over_s = jnp.exp(z_arg) / s_tot
+            ez_over_s = jnp.exp(z_arg) * rs_tot
             zp_softmax = frag * ez_over_s * rgb_on
 
             if cfg.mask_only:
                 # alpha-only render: zero rgb cotangent by construction
                 gz = [jnp.zeros((rk.GROUP, 1), dtype) for _ in range(3)]
+                gtex_lanes = [jnp.zeros((rk.GROUP, 3 * cfg.T2), dtype)]
             else:
-                # texel colors + per-texel texture grads; one [G, 128]
-                # store per group (108 dynamic stores made Mosaic
-                # compilation explode)
+                # texel colors + per-texel texture grads; one packed
+                # [G, 128] store per group (108 dynamic stores made
+                # Mosaic compilation explode)
                 colr = jnp.zeros_like(frag)
                 colg = jnp.zeros_like(frag)
                 colb = jnp.zeros_like(frag)
@@ -124,11 +133,7 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
                        for gc in gtex_cols]
                 gtb = [jnp.sum(gc * g_b, axis=1, keepdims=True)
                        for gc in gtex_cols]
-                gtex_scratch[pl.ds(g0, rk.GROUP), :] = jnp.concatenate(
-                    gtr + gtg + gtb
-                    + [jnp.zeros((rk.GROUP, 128 - 3 * cfg.T2), dtype)],
-                    axis=1,
-                )
+                gtex_lanes = gtr + gtg + gtb
 
                 if cfg.rgb_geom_detach:
                     # fused mask+texture render: the reference detaches
@@ -145,15 +150,17 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
                     C_grad_xy = C_grad_xy + C_rgb_over_frag
 
                     # depth gradient (:624-627)
-                    C_z = C_rgb / cfg.gamma / (cfg.near - cfg.far) * zp * zp
+                    C_z = (C_rgb * (1.0 / cfg.gamma / (cfg.near - cfg.far))
+                           * zp * zp)
+                    rz = pm["rz"]
                     gz = [
-                        jnp.sum(zgate * C_z * wc[k] / (z[k] * z[k]),
+                        jnp.sum(zgate * C_z * wc[k] * (rz[k] * rz[k]),
                                 axis=1, keepdims=True)
                         for k in range(3)
                     ]
 
             # sigmoid + euclidean distance chain (:632-643)
-            C_grad_xy = C_grad_xy * frag * (1.0 - frag) / cfg.sigma
+            C_grad_xy = C_grad_xy * frag * (1.0 - frag) * (1.0 / cfg.sigma)
             base = 2.0 * pm["sign"] * C_grad_xy * zgate
             tw = [pm["t"][k] + pm["w"][k] for k in range(3)]
             gxk = [
@@ -165,42 +172,43 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
                 for k in range(3)
             ]
 
+            npad = 128 - _GTEX0 - 3 * cfg.T2
             grow = jnp.concatenate(
                 [gxk[0], gyk[0], gz[0],
                  gxk[1], gyk[1], gz[1],
-                 gxk[2], gyk[2], gz[2],
-                 jnp.zeros((rk.GROUP, 119), dtype)],
+                 gxk[2], gyk[2], gz[2]]
+                + gtex_lanes
+                + [jnp.zeros((rk.GROUP, npad), dtype)],
                 axis=1,
             )  # [G, 128]
-            gface_scratch[pl.ds(g0, rk.GROUP), :] = grow
+            gout_scratch[pl.ds(g0, rk.GROUP), :] = grow
             return 0
 
         n_groups = (n + rk.GROUP - 1) // rk.GROUP
         jax.lax.fori_loop(0, n_groups, body, 0)
 
         wr1 = pltpu.make_async_copy(
-            gface_scratch.at[pl.ds(0, cfg.mf_cap), :],
-            gplanes_ref.at[b, pl.ds(start, cfg.mf_cap), :],
-            sems.at[2],
+            gout_scratch.at[pl.ds(0, cfg.mf_cap), :],
+            gout_ref.at[b, pl.ds(start, cfg.mf_cap), :],
+            sems.at[1],
         )
         wr1.start()
-        wr2 = pltpu.make_async_copy(
-            gtex_scratch.at[pl.ds(0, cfg.mf_cap), :],
-            gtex_ref.at[b, pl.ds(start, cfg.mf_cap), :],
-            sems.at[3],
-        )
-        wr2.start()
         wr1.wait()
-        wr2.wait()
 
 
 def run_backward(face_vertices, textures, rgba, aggr,
                  g_rgba, S, bgc, near, far, eps, sigma, dist_eps, gamma,
                  double_side, ts, max_cover, mf_cap, mask_only=False,
-                 rgb_geom_detach=False):
+                 rgb_geom_detach=False, entry_cap=None):
     """Returns (grad_face_vertices [B,F,3,3], grad_textures [B,F,T2,3])."""
     B, F = face_vertices.shape[:2]
     T2 = textures.shape[2]
+    if _GTEX0 + 3 * T2 > 128:
+        raise ValueError(
+            f"Pallas backward supports 3*T2 <= {128 - _GTEX0} packed "
+            f"texel-gradient lanes (tex_size <= 6); got T2={T2}. Use the "
+            "XLA rasterizer paths for larger textures."
+        )
     dtype = face_vertices.dtype
     cfg = rk._make_cfg(S, bgc, near, far, eps, sigma, dist_eps, gamma,
                        double_side, ts, T2, mf_cap)
@@ -210,7 +218,7 @@ def run_backward(face_vertices, textures, rgba, aggr,
     n_tiles = TX * TX
 
     (_planes, al_fids, astarts, entry_data, E_al, E_pad
-     ) = rk._prepare(face_vertices, textures, cfg, max_cover)
+     ) = rk._prepare(face_vertices, textures, cfg, max_cover, entry_cap)
     # binning is deterministic; reuse is safe (argsort ties resolved the
     # same way for the same inputs)
 
@@ -241,33 +249,29 @@ def run_backward(face_vertices, textures, rgba, aggr,
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((cfg.mf_cap, 256), dtype),
             pltpu.VMEM((cfg.mf_cap, 128), dtype),
-            pltpu.VMEM((cfg.mf_cap, 128), dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    gplanes_e, gtex_e = pl.pallas_call(
+    gout_e = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg=cfg),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, E_pad, 128), dtype),
-            jax.ShapeDtypeStruct((B, E_pad, 128), dtype),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(astarts, entry_data, pix_tiles)
+    )(astarts, entry_data, pix_tiles)[0]
 
-    def seg(ge, gt, fid):
-        gf = jnp.zeros((F + 1, 16), dtype).at[fid].add(ge[:E_al, :16])[:F]
-        gtex = jnp.zeros((F + 1, 128), dtype).at[fid].add(gt[:E_al])[:F]
-        return gf, gtex
+    def seg(ge, fid):
+        return jnp.zeros((F + 1, 128), dtype).at[fid].add(ge[:E_al])[:F]
 
-    gf, gt = jax.vmap(seg)(gplanes_e, gtex_e, al_fids)
-    grad_faces = gf[:, :, :9].reshape(B, F, 3, 3)
+    gsum = jax.vmap(seg)(gout_e, al_fids)
+    grad_faces = gsum[:, :, :9].reshape(B, F, 3, 3)
     grad_tex = jnp.stack(
-        [gt[:, :, c * T2:(c + 1) * T2] for c in range(3)], axis=-1
+        [gsum[:, :, _GTEX0 + c * T2:_GTEX0 + (c + 1) * T2]
+         for c in range(3)], axis=-1
     )  # [B, F, T2, 3]
     return grad_faces, grad_tex

@@ -122,7 +122,7 @@ class SoftRenderer:
         return self.render(vertices, faces, cams, textures, need_p2f,
                            mask_only, rgb_geom_detach)
 
-    def uses_pallas(self, textures_channels=3):
+    def uses_pallas(self, textures_channels=3, textures_t2=36):
         import jax as _jax
 
         render_size = self.image_size * (2 if self.anti_aliasing else 1)
@@ -134,6 +134,7 @@ class SoftRenderer:
             and self.render_type in ("softmax", "hard")
             and render_size % self.tile_size == 0
             and textures_channels == 3
+            and 3 * textures_t2 <= 119  # packed bwd lane limit
         )
 
     def render(self, vertices, faces, cams, textures=None,
@@ -194,7 +195,10 @@ class SoftRenderer:
             and self.aggr_func_alpha == "prod"
             and self.render_type in ("softmax", "hard")
             and render_size % self.tile_size == 0
-            and (textures is None or textures.shape[-1] == 3)
+            and (textures is None or (
+                textures.shape[-1] == 3
+                and 3 * textures.shape[-2] <= 119  # packed bwd lane limit
+            ))
         )
         use_binned = self.impl == "binned" or (
             self.impl == "auto" and render_size >= 128

@@ -393,7 +393,8 @@ def build_s1_step(cfg: Config, template):
             tex = sample_textures(tex_flow, imgs)
             T = tex.shape[2]
             tex = tex.reshape(B, tex.shape[1], T * T, 3)
-        if cfg.use_texture and tex_renderer.uses_pallas():
+        if cfg.use_texture and tex_renderer.uses_pallas(
+                textures_t2=cfg.tex_size * cfg.tex_size):
             # fused seen-mask + texture render: one kernel pass; rgb
             # gradients reach textures only (the reference detaches
             # geometry and camera in its texture render,
