@@ -462,19 +462,20 @@ def _fwd_kernel(starts_ref, data_hbm, out_ref, p2f_ref,
     jax.lax.fori_loop(0, cfg.tpg, tile_body, 0)
 
 
-def _run_fwd_kernel(entry_data, starts, cfg: _Cfg, B, E_pad, n_tiles):
+def _run_fwd_kernel(entry_data, starts, cfg: _Cfg, B, E_pad, n_tiles,
+                    interpret=False):
     dtype = entry_data.dtype
     assert n_tiles % cfg.tpg == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_tiles // cfg.tpg),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, cfg.tpg, 8, cfg.P),
                          lambda b, t, s: (b, t, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((cfg.mf_cap, 256), dtype),
@@ -490,6 +491,7 @@ def _run_fwd_kernel(entry_data, starts, cfg: _Cfg, B, E_pad, n_tiles):
             jax.ShapeDtypeStruct((B, E_pad, 128), dtype),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(starts, entry_data)
     return out, p2f_entry
 
@@ -514,6 +516,7 @@ def soft_rasterize_pallas(
     mask_only=False,
     rgb_geom_detach=False,
     entry_cap=None,
+    interpret=False,
 ):
     """Training-config rasterizer (euclidean dist, prod alpha, surface
     textures; softmax or hard RGB).
@@ -523,7 +526,9 @@ def soft_rasterize_pallas(
     semantics (see module docstring); the hard-RGB mode is forward-only
     (callers use it under stop_gradient, like the reference visibility
     pass). entry_cap bounds the binned entry array (default 8*F; see
-    _prepare).
+    _prepare). interpret=True runs the kernels in the Pallas interpreter
+    (any backend, slow) — used by the CPU test suite to validate the
+    kernel math against the CUDA-golden port without TPU hardware.
     """
     return _pallas_raster_vjp(
         face_vertices, textures,
@@ -533,6 +538,7 @@ def soft_rasterize_pallas(
         aggr_func_rgb == "hard", bool(need_p2f), bool(mask_only),
         bool(rgb_geom_detach),
         None if entry_cap is None else int(entry_cap),
+        bool(interpret),
     )
 
 
@@ -640,15 +646,15 @@ def _prepare(face_vertices, textures, cfg: _Cfg, max_cover,
     return (planes, al_fids, astarts, entry_data, E_al, E_pad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 19)))
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 20)))
 def _pallas_raster_vjp(face_vertices, textures, S, bgc, near, far, eps,
                        sigma, dist_eps, gamma, double_side, ts, max_cover,
                        mf_cap, hard, need_p2f, mask_only, rgb_geom_detach,
-                       entry_cap):
+                       entry_cap, interpret):
     out, _res = _pallas_fwd(
         face_vertices, textures, S, bgc, near, far, eps, sigma, dist_eps,
         gamma, double_side, ts, max_cover, mf_cap, hard, need_p2f,
-        mask_only, entry_cap=entry_cap,
+        mask_only, entry_cap=entry_cap, interpret=interpret,
     )
     return out
 
@@ -656,7 +662,7 @@ def _pallas_raster_vjp(face_vertices, textures, S, bgc, near, far, eps,
 def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
                 dist_eps, gamma, double_side, ts, max_cover, mf_cap,
                 hard=False, need_p2f=True, mask_only=False,
-                rgb_geom_detach=False, entry_cap=None):
+                rgb_geom_detach=False, entry_cap=None, interpret=False):
     # rgb_geom_detach only affects the backward pass (raster_kernel_bwd)
     del rgb_geom_detach
     B, F = face_vertices.shape[:2]
@@ -675,7 +681,7 @@ def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
      ) = _prepare(face_vertices, textures, cfg, max_cover, entry_cap)
 
     out, p2f_entry = _run_fwd_kernel(
-        entry_data, astarts, cfg, B, E_pad, n_tiles
+        entry_data, astarts, cfg, B, E_pad, n_tiles, interpret=interpret
     )
 
     # untile: [B, n_tiles, 8, P] -> images
@@ -704,7 +710,7 @@ def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
 
 def _pallas_bwd(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
                 ts, max_cover, mf_cap, hard, need_p2f, mask_only,
-                rgb_geom_detach, entry_cap, res, grads):
+                rgb_geom_detach, entry_cap, interpret, res, grads):
     from .raster_kernel_bwd import run_backward
 
     face_vertices, textures, rgba, aggr = res
@@ -717,6 +723,7 @@ def _pallas_bwd(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
         face_vertices, textures, rgba, aggr, g_rgba,
         S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side, ts,
         max_cover, mf_cap, mask_only, rgb_geom_detach, entry_cap,
+        interpret,
     )
 
 

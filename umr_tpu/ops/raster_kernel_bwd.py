@@ -199,7 +199,7 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
 def run_backward(face_vertices, textures, rgba, aggr,
                  g_rgba, S, bgc, near, far, eps, sigma, dist_eps, gamma,
                  double_side, ts, max_cover, mf_cap, mask_only=False,
-                 rgb_geom_detach=False, entry_cap=None):
+                 rgb_geom_detach=False, entry_cap=None, interpret=False):
     """Returns (grad_face_vertices [B,F,3,3], grad_textures [B,F,T2,3])."""
     B, F = face_vertices.shape[:2]
     T2 = textures.shape[2]
@@ -244,11 +244,11 @@ def run_backward(face_vertices, textures, rgba, aggr,
         num_scalar_prefetch=1,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, 16, P), lambda b, t, s: (b, t, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((cfg.mf_cap, 256), dtype),
@@ -263,6 +263,7 @@ def run_backward(face_vertices, textures, rgba, aggr,
             jax.ShapeDtypeStruct((B, E_pad, 128), dtype),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(astarts, entry_data, pix_tiles)[0]
 
     def seg(ge, fid):
