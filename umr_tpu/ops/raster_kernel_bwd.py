@@ -57,11 +57,7 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
 
     @pl.when(n > 0)
     def _():
-        cp1 = pltpu.make_async_copy(
-            data_hbm.at[b, pl.ds(start, cfg.mf_cap), :], slab, sems.at[0]
-        )
-        cp1.start()
-        cp1.wait()
+        rk._dma_rows(data_hbm, b, start, n, slab, sems, cfg)
 
         def texcol(g0, c, tt):
             off = rk.NP + c * cfg.T2 + tt
@@ -187,13 +183,8 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
         n_groups = (n + rk.GROUP - 1) // rk.GROUP
         jax.lax.fori_loop(0, n_groups, body, 0)
 
-        wr1 = pltpu.make_async_copy(
-            gout_scratch.at[pl.ds(0, cfg.mf_cap), :],
-            gout_ref.at[b, pl.ds(start, cfg.mf_cap), :],
-            sems.at[1],
-        )
-        wr1.start()
-        wr1.wait()
+        rk._dma_rows(gout_ref, b, start, n, gout_scratch, sems, cfg,
+                     to_hbm=True)
 
 
 def run_backward(face_vertices, textures, rgba, aggr,
@@ -253,7 +244,7 @@ def run_backward(face_vertices, textures, rgba, aggr,
         scratch_shapes=[
             pltpu.VMEM((cfg.mf_cap, 256), dtype),
             pltpu.VMEM((cfg.mf_cap, 128), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((rk._n_dma_sems(cfg.mf_cap),)),
         ],
     )
     gout_e = pl.pallas_call(
