@@ -69,7 +69,7 @@ def main():
                        False, 32, 36, 256)
 
     def prep(fv, tx):
-        return rk._prepare(fv, tx, cfg, 4)[3].sum()
+        return rk._prepare(fv, tx, cfg, 4)[2].sum()
 
     timeit("prepare+sort+gather", jax.jit(prep), fvs, tex)
     timeit("fwd only", jax.jit(fwd_only), fvs, tex)

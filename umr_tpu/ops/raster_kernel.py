@@ -37,62 +37,22 @@ from jax.experimental.pallas import tpu as pltpu
 from .rasterize import RasterOut
 from .rasterize_binned import _bin_faces_one
 
-NP = 32          # face plane rows (see _plane_layout)
 GROUP = 8        # faces per inner-loop iteration
 DMA_CH = 32      # entry rows per DMA chunk (multiple of GROUP)
 
-# plane indices
-_PX = (0, 3, 6)       # x0, x1, x2
-_PY = (1, 4, 7)
-_PZ = (2, 5, 8)
-_PINV = 9             # inv00..inv22 -> 9..17
-_PSYM = 18            # sym00..sym22 -> 18..26
-_POBT = 27            # obt0..2 -> 27..29
-_PFRONT = 30
-_PFID = 31
-
-
-def build_face_planes(face_vertices):
-    """[B, F, 3, 3] -> [B, F, NP] SoA planes (cf. rasterize_binned
-    _face_planes; entry-major layout so kernels DMA contiguous slabs)."""
-    p = face_vertices
-    B, F = p.shape[:2]
-    xs = [p[..., k, 0] for k in range(3)]
-    ys = [p[..., k, 1] for k in range(3)]
-    zs = [p[..., k, 2] for k in range(3)]
-    det = (xs[2] * (ys[0] - ys[1]) + xs[0] * (ys[1] - ys[2])
-           + xs[1] * (ys[2] - ys[0]))
-    det = jnp.where(det > 0, jnp.maximum(det, 1e-10),
-                    jnp.minimum(det, -1e-10))
-    star = [
-        ys[1] - ys[2], xs[2] - xs[1], xs[1] * ys[2] - xs[2] * ys[1],
-        ys[2] - ys[0], xs[0] - xs[2], xs[2] * ys[0] - xs[0] * ys[2],
-        ys[0] - ys[1], xs[1] - xs[0], xs[0] * ys[1] - xs[1] * ys[0],
-    ]
-    cols = [None] * NP
-    for k in range(3):
-        cols[_PX[k]] = xs[k]
-        cols[_PY[k]] = ys[k]
-        cols[_PZ[k]] = zs[k]
-    for i in range(9):
-        cols[_PINV + i] = star[i] / det
-    for i in range(3):
-        for j in range(3):
-            cols[_PSYM + 3 * i + j] = xs[i] * xs[j] + ys[i] * ys[j] + 1.0
-    for k in range(3):
-        k1, k2 = (k + 1) % 3, (k + 2) % 3
-        cols[_POBT + k] = (
-            ((xs[k1] - xs[k]) * (xs[k2] - xs[k])
-             + (ys[k1] - ys[k]) * (ys[k2] - ys[k])) < 0
-        ).astype(p.dtype)
-    cols[_PFRONT] = (
-        (ys[2] - ys[0]) * (xs[1] - xs[0]) < (ys[1] - ys[0]) * (xs[2] - xs[0])
-    ).astype(p.dtype)
-    # face index as float (exact to 2^24) for the hard-mode face-id output
-    cols[_PFID] = jnp.broadcast_to(
-        jnp.arange(F, dtype=p.dtype)[None, :], (B, F)
-    )
-    return jnp.stack(cols, axis=-1)  # [B, F, NP]
+# entry-row lane layout (128 lanes): vertex coordinates + face id + texels.
+# The derived per-face planes (inverse barycentric matrix, edge sym
+# products, obtuse flags, frontface sign) are recomputed in-kernel on
+# [GROUP, 1] shapes — a few vector ops per group, far cheaper than
+# gathering them from HBM (the entry gather is the dominant HBM cost of a
+# render; halving the row from 256 to 128 lanes halves it).
+_EX = (0, 1, 2)
+_EY = (3, 4, 5)
+_EZ = (6, 7, 8)
+_EFID = 9
+ETEX0 = 16            # texel block: 3*T2 lanes, so T2 <= 37 (tex_size 6)
+ENTRY_LANES = 128
+NP = ETEX0            # compatibility alias for the texel offset base
 
 
 def _dma_rows(hbm, b, start, n, slab, sems, cfg, to_hbm=False):
@@ -165,13 +125,32 @@ def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
     def col(k):
         return slab[pl.ds(g0, GROUP), k:k + 1]  # [G, 1]
 
-    x = [col(_PX[k]) for k in range(3)]
-    y = [col(_PY[k]) for k in range(3)]
-    z = [col(_PZ[k]) for k in range(3)]
-    inv = [col(_PINV + i) for i in range(9)]
-    sym = [col(_PSYM + i) for i in range(9)]
-    obt = [col(_POBT + k) for k in range(3)]
-    front = col(_PFRONT)
+    x = [col(_EX[k]) for k in range(3)]
+    y = [col(_EY[k]) for k in range(3)]
+    z = [col(_EZ[k]) for k in range(3)]
+
+    # derived planes, [G,1] each (cf. the reference's face preprocessing,
+    # ...cuda_kernel.cu:222-282)
+    det = (x[2] * (y[0] - y[1]) + x[0] * (y[1] - y[2])
+           + x[1] * (y[2] - y[0]))
+    det = jnp.where(det > 0, jnp.maximum(det, 1e-10),
+                    jnp.minimum(det, -1e-10))
+    rdet = 1.0 / det
+    star = [
+        y[1] - y[2], x[2] - x[1], x[1] * y[2] - x[2] * y[1],
+        y[2] - y[0], x[0] - x[2], x[2] * y[0] - x[0] * y[2],
+        y[0] - y[1], x[1] - x[0], x[0] * y[1] - x[1] * y[0],
+    ]
+    inv = [sv * rdet for sv in star]
+    sym = [x[i] * x[j] + y[i] * y[j] + 1.0
+           for i in range(3) for j in range(3)]
+    obt = [
+        ((x[(k + 1) % 3] - x[k]) * (x[(k + 2) % 3] - x[k])
+         + (y[(k + 1) % 3] - y[k]) * (y[(k + 2) % 3] - y[k])) < 0
+        for k in range(3)
+    ]
+    front = ((y[2] - y[0]) * (x[1] - x[0])
+             < (y[1] - y[0]) * (x[2] - x[0]))
 
     maxx = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
     minx = jnp.minimum(jnp.minimum(x[0], x[1]), x[2])
@@ -227,9 +206,9 @@ def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
     def corner_dot(k, kk):
         return ((xp - x[k]) * (x[kk] - x[k]) + (yp - y[k]) * (y[kk] - y[k]))
 
-    vA = jnp.where((obt[0] > 0) & (corner_dot(0, 2) > 0), 2, 0)
-    vB = jnp.where((obt[1] > 0) & (corner_dot(1, 0) > 0), 0, 1)
-    vC = jnp.where((obt[2] > 0) & (corner_dot(2, 1) > 0), 1, 2)
+    vA = jnp.where(obt[0] & (corner_dot(0, 2) > 0), 2, 0)
+    vB = jnp.where(obt[1] & (corner_dot(1, 0) > 0), 0, 1)
+    vC = jnp.where(obt[2] & (corner_dot(2, 1) > 0), 1, 2)
     caseA = n1 & n2
     caseB = n2 & n0 & ~caseA
     caseC = n0 & n1 & ~caseA & ~caseB
@@ -263,7 +242,7 @@ def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
     rz = [1.0 / z[k] for k in range(3)]  # [G,1]
     zp = 1.0 / (w0c * rz[0] + w1c * rz[1] + w2c * rz[2])
     z_ok = (zp >= cfg.near) & (zp <= cfg.far)
-    front_ok = (front > 0) | cfg.double_side
+    front_ok = front | cfg.double_side
     rgb_valid = valid & z_ok & front_ok & (frag > 0)
 
     # texel index (surface type, ref :180-195)
@@ -281,7 +260,7 @@ def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
         valid=valid, frag=frag, sign=sign, dis_x=dis_x, dis_y=dis_y,
         t=t_sel, w=(w0, w1, w2), wc=(w0c, w1c, w2c), z=z, rz=rz, zp=zp,
         rgb_valid=rgb_valid, tex_idx=tex_idx, inside=inside,
-        inside01=inside01, z_ok=z_ok, front_ok=front_ok, fid=col(_PFID),
+        inside01=inside01, z_ok=z_ok, front_ok=front_ok, fid=col(_EFID),
     )
 
 
@@ -318,7 +297,7 @@ def _fwd_kernel(starts_ref, data_hbm, out_ref, p2f_ref,
             _dma_rows(data_hbm, b, start, n, slab, sems, cfg)
 
             def texcol(g0, c, tt):
-                off = NP + c * cfg.T2 + tt
+                off = ETEX0 + c * cfg.T2 + tt
                 return slab[pl.ds(g0, GROUP), off:off + 1]
 
             sub_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
@@ -503,7 +482,7 @@ def _run_fwd_kernel(entry_data, starts, cfg: _Cfg, B, E_pad, n_tiles,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((cfg.mf_cap, 256), dtype),
+            pltpu.VMEM((cfg.mf_cap, ENTRY_LANES), dtype),
             pltpu.VMEM((cfg.mf_cap, 128), dtype),
             pltpu.SemaphoreType.DMA((_n_dma_sems(cfg.mf_cap),)),
         ],
@@ -592,17 +571,15 @@ def _prepare(face_vertices, textures, cfg: _Cfg, max_cover,
     deterministic layout, so gradients always match the rendered image.
     """
     B, F = face_vertices.shape[:2]
-    planes = build_face_planes(face_vertices)  # [B, F, NP]
     face_valid = jnp.ones((F,), bool)
 
-    def bin_one(fp):
+    def bin_one(fv):
         return _bin_faces_one(
-            fp[:, [_PX[0], _PX[1], _PX[2]]],
-            fp[:, [_PY[0], _PY[1], _PY[2]]],
+            fv[:, :, 0], fv[:, :, 1],
             face_valid, cfg.S, cfg.ts, cfg.thr_margin, max_cover,
         )
 
-    sorted_fids, sorted_keys, starts = jax.vmap(bin_one)(planes)
+    sorted_fids, sorted_keys, starts = jax.vmap(bin_one)(face_vertices)
     E = sorted_fids.shape[1]
     n_tiles_b = cfg.TX * cfg.TX
 
@@ -647,28 +624,43 @@ def _prepare(face_vertices, textures, cfg: _Cfg, max_cover,
 
     al_fids = jax.vmap(scatter_fids)(position, sorted_fids)
 
-    dummy = jnp.zeros((B, 1, NP), planes.dtype)
-    dummy = dummy.at[:, 0, _PX[0]].set(10.0).at[:, 0, _PX[1]].set(10.1) \
-        .at[:, 0, _PX[2]].set(10.0).at[:, 0, _PY[0]].set(10.0) \
-        .at[:, 0, _PY[1]].set(10.0).at[:, 0, _PY[2]].set(10.1) \
-        .at[:, 0, _PZ[0]].set(5.0).at[:, 0, _PZ[1]].set(5.0) \
-        .at[:, 0, _PZ[2]].set(5.0)
-    planes_ext = jnp.concatenate([planes, dummy], axis=1)
+    dtype = face_vertices.dtype
+    # dummy offscreen face for padding slots (every cull rejects it)
+    dummy_fv = jnp.broadcast_to(
+        jnp.asarray([[10.0, 10.0, 5.0], [10.1, 10.0, 5.0],
+                     [10.0, 10.1, 5.0]], dtype)[None, None],
+        (B, 1, 3, 3),
+    )
+    fv_ext = jnp.concatenate([face_vertices, dummy_fv], axis=1)
     tex_ext = jnp.concatenate(
         [textures, jnp.zeros_like(textures[:, :1])], axis=1
     )
+    T2 = textures.shape[2]
+    assert ETEX0 + 3 * T2 <= ENTRY_LANES, (
+        f"T2={T2} exceeds the {ENTRY_LANES}-lane entry row (tex_size <= 6)"
+    )
 
-    def gather_one(fp, tex, fids):
-        # one 256-lane entry row: [planes (NP) | texels (3*T2) | pad]
-        ep = fp[fids]  # [E_al, NP]
-        et = jnp.concatenate([tex[fids, :, c] for c in range(3)], axis=-1)
-        pad = jnp.zeros((ep.shape[0], 256 - NP - et.shape[-1]), et.dtype)
-        return jnp.concatenate([ep, et, pad], axis=-1)
-
-    entry_data = jax.vmap(gather_one)(planes_ext, tex_ext, al_fids)
-    zp = jnp.zeros((B, cfg.mf_cap, 256), entry_data.dtype)
+    # one flat [B, F+1, 128] face table, then ONE row gather per entry:
+    # [x0..x2 | y0..y2 | z0..z2 | fid | pad | texels (3*T2) | pad] —
+    # derived planes are recomputed in-kernel. (Gathering from a 3-D
+    # table — e.g. tex[fids, :, c] — is ~10x slower on TPU than a flat
+    # row gather; flattening once makes the gather bandwidth-shaped.)
+    fid_lane = jnp.broadcast_to(
+        jnp.arange(F + 1, dtype=dtype)[None, :, None], (B, F + 1, 1)
+    )
+    table = jnp.concatenate(
+        [
+            fv_ext[..., 0], fv_ext[..., 1], fv_ext[..., 2], fid_lane,
+            jnp.zeros((B, F + 1, ETEX0 - 10), dtype),
+            tex_ext.transpose(0, 1, 3, 2).reshape(B, F + 1, 3 * T2),
+            jnp.zeros((B, F + 1, ENTRY_LANES - ETEX0 - 3 * T2), dtype),
+        ],
+        axis=-1,
+    )
+    entry_data = jax.vmap(lambda t, i: t[i])(table, al_fids)
+    zp = jnp.zeros((B, cfg.mf_cap, ENTRY_LANES), dtype)
     entry_data = jnp.concatenate([entry_data, zp], axis=1)
-    return (planes, al_fids, astarts, entry_data, E_al, E_pad)
+    return (al_fids, astarts, entry_data, E_al, E_pad)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 20)))
@@ -702,7 +694,7 @@ def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
                        mask_only=(mask_only and not hard), tpg=tpg)
     n_tiles = cfg.TX * cfg.TX
 
-    (planes, al_fids, astarts, entry_data, E_al, E_pad
+    (al_fids, astarts, entry_data, E_al, E_pad
      ) = _prepare(face_vertices, textures, cfg, max_cover, entry_cap)
 
     out, p2f_entry = _run_fwd_kernel(

@@ -60,7 +60,7 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
         rk._dma_rows(data_hbm, b, start, n, slab, sems, cfg)
 
         def texcol(g0, c, tt):
-            off = rk.NP + c * cfg.T2 + tt
+            off = rk.ETEX0 + c * cfg.T2 + tt
             return slab[pl.ds(g0, rk.GROUP), off:off + 1]
 
         pix = pix_ref[0, 0]             # [16, P]
@@ -208,7 +208,7 @@ def run_backward(face_vertices, textures, rgba, aggr,
     TX, P = cfg.TX, cfg.P
     n_tiles = TX * TX
 
-    (_planes, al_fids, astarts, entry_data, E_al, E_pad
+    (al_fids, astarts, entry_data, E_al, E_pad
      ) = rk._prepare(face_vertices, textures, cfg, max_cover, entry_cap)
     # binning is deterministic; reuse is safe (argsort ties resolved the
     # same way for the same inputs)
@@ -242,7 +242,7 @@ def run_backward(face_vertices, textures, rgba, aggr,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((cfg.mf_cap, 256), dtype),
+            pltpu.VMEM((cfg.mf_cap, rk.ENTRY_LANES), dtype),
             pltpu.VMEM((cfg.mf_cap, 128), dtype),
             pltpu.SemaphoreType.DMA((rk._n_dma_sems(cfg.mf_cap),)),
         ],

@@ -134,7 +134,7 @@ class SoftRenderer:
             and self.render_type in ("softmax", "hard")
             and render_size % self.tile_size == 0
             and textures_channels == 3
-            and 3 * textures_t2 <= 119  # packed bwd lane limit
+            and 3 * textures_t2 <= 112  # entry-row texel lane limit
         )
 
     def render(self, vertices, faces, cams, textures=None,
@@ -197,7 +197,7 @@ class SoftRenderer:
             and render_size % self.tile_size == 0
             and (textures is None or (
                 textures.shape[-1] == 3
-                and 3 * textures.shape[-2] <= 119  # packed bwd lane limit
+                and 3 * textures.shape[-2] <= 112  # entry-row texel lane limit
             ))
         )
         use_binned = self.impl == "binned" or (
