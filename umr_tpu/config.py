@@ -107,8 +107,11 @@ class Config:
     data_parallel: bool = True     # shard batch over available devices
     seed: int = 0
     bf16: bool = False
-    # sequential chunks for the B*K hypothesis renders (bounds peak HBM)
-    hypo_render_chunks: int = 4
+    # sequential chunks for the B*K hypothesis renders. 1 = one fused
+    # render (fastest, ~25% step time at batch 16); raise to bound peak
+    # HBM for large batches (each chunk renders B*K/chunks images at 2x
+    # the output resolution)
+    hypo_render_chunks: int = 1
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
