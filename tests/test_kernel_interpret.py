@@ -114,6 +114,25 @@ def test_interpret_rgb_geom_detach_routing(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_interpret_tex_grads_off(rng):
+    """tex_grads=False: verts grads unchanged, texture grads zero."""
+    faces, tex = _scene(rng, B=1, F=5)
+    g = jnp.asarray(rng.standard_normal((1, S, S, 4)).astype(np.float32))
+
+    def loss(fv, tx, **extra):
+        out = soft_rasterize_pallas(fv, tx, **extra, **KW)
+        return jnp.sum(out.rgba * g)
+
+    fv, tx = jnp.asarray(faces), jnp.asarray(tex)
+    gv_full, gt_full = jax.grad(loss, argnums=(0, 1))(fv, tx)
+    gv_off, gt_off = jax.grad(
+        lambda a, b: loss(a, b, tex_grads=False), argnums=(0, 1))(fv, tx)
+    np.testing.assert_allclose(np.asarray(gv_off), np.asarray(gv_full),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(gt_off), 0.0)
+    assert float(jnp.abs(gt_full).max()) > 0
+
+
 def test_interpret_entry_cap_truncation(rng):
     """An entry_cap large enough for the scene changes nothing; the default
     cap (8F) matches the uncapped layout on small scenes."""

@@ -274,7 +274,9 @@ class PartMatchingLoss:
                     [sub, jnp.zeros(sub.shape[:-1] + (pad,), sub.dtype)],
                     axis=-1,
                 )
-            out = self.renderer.render(verts, faces, cams, sub)
+            # part textures are constants: skip texture grads in the bwd
+            out = self.renderer.render(verts, faces, cams, stop(sub),
+                                       tex_grads=False)
             chans.append(out.rgba[..., : min(3, self.num_parts - c0)])
         projs = jnp.concatenate(chans, axis=-1)  # [B,H,W,P]
         projs = projs.transpose(0, 3, 1, 2)      # [B,P,H,W]

@@ -113,6 +113,10 @@ class _Cfg(NamedTuple):
     # texture branch but keeps live geometry for the silhouette
     # (ref: train_s2.py:246-248) can then be fused with the mask render
     rgb_geom_detach: bool = False
+    # skip texture gradients in the backward (the T2-loop accumulation is
+    # a large share of the group loop). Only valid when the caller passes
+    # stop_gradient textures (GAN novel views, constant part textures).
+    tex_grads: bool = True
     tpg: int = 8   # tiles per grid step (amortizes per-step overhead)
 
 
@@ -521,6 +525,7 @@ def soft_rasterize_pallas(
     rgb_geom_detach=False,
     entry_cap=None,
     interpret=False,
+    tex_grads=True,
 ):
     """Training-config rasterizer (euclidean dist, prod alpha, surface
     textures; softmax or hard RGB).
@@ -530,7 +535,10 @@ def soft_rasterize_pallas(
     semantics (see module docstring); the hard-RGB mode is forward-only
     (callers use it under stop_gradient, like the reference visibility
     pass). entry_cap bounds the binned entry array (default 8*F; see
-    _prepare). interpret=True runs the kernels in the Pallas interpreter
+    _prepare). tex_grads=False skips texture gradients in the backward —
+    only valid when textures are stop_gradient'ed by the caller (GAN
+    views, constant part textures). interpret=True runs the kernels in
+    the Pallas interpreter
     (any backend, slow) — used by the CPU test suite to validate the
     kernel math against the CUDA-golden port without TPU hardware.
     """
@@ -542,7 +550,7 @@ def soft_rasterize_pallas(
         aggr_func_rgb == "hard", bool(need_p2f), bool(mask_only),
         bool(rgb_geom_detach),
         None if entry_cap is None else int(entry_cap),
-        bool(interpret),
+        bool(interpret), bool(tex_grads),
     )
 
 
@@ -663,11 +671,11 @@ def _prepare(face_vertices, textures, cfg: _Cfg, max_cover,
     return (al_fids, astarts, entry_data, E_al, E_pad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 20)))
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 21)))
 def _pallas_raster_vjp(face_vertices, textures, S, bgc, near, far, eps,
                        sigma, dist_eps, gamma, double_side, ts, max_cover,
                        mf_cap, hard, need_p2f, mask_only, rgb_geom_detach,
-                       entry_cap, interpret):
+                       entry_cap, interpret, tex_grads):
     out, _res = _pallas_fwd(
         face_vertices, textures, S, bgc, near, far, eps, sigma, dist_eps,
         gamma, double_side, ts, max_cover, mf_cap, hard, need_p2f,
@@ -679,7 +687,9 @@ def _pallas_raster_vjp(face_vertices, textures, S, bgc, near, far, eps,
 def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
                 dist_eps, gamma, double_side, ts, max_cover, mf_cap,
                 hard=False, need_p2f=True, mask_only=False,
-                rgb_geom_detach=False, entry_cap=None, interpret=False):
+                rgb_geom_detach=False, entry_cap=None, interpret=False,
+                tex_grads=True):
+    del tex_grads  # backward-only flag (raster_kernel_bwd)
     # rgb_geom_detach only affects the backward pass (raster_kernel_bwd)
     del rgb_geom_detach
     B, F = face_vertices.shape[:2]
@@ -727,7 +737,8 @@ def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
 
 def _pallas_bwd(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
                 ts, max_cover, mf_cap, hard, need_p2f, mask_only,
-                rgb_geom_detach, entry_cap, interpret, res, grads):
+                rgb_geom_detach, entry_cap, interpret, tex_grads,
+                res, grads):
     from .raster_kernel_bwd import run_backward
 
     face_vertices, textures, rgba, aggr = res
@@ -740,7 +751,7 @@ def _pallas_bwd(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
         face_vertices, textures, rgba, aggr, g_rgba,
         S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side, ts,
         max_cover, mf_cap, mask_only, rgb_geom_detach, entry_cap,
-        interpret,
+        interpret, tex_grads,
     )
 
 

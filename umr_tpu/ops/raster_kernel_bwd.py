@@ -122,14 +122,20 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
                     colr += msel * texcol(g0, 0, tt)
                     colg += msel * texcol(g0, 1, tt)
                     colb += msel * texcol(g0, 2, tt)
-                    gtex_cols.append(msel * zp_softmax * zgate)
-                gtr = [jnp.sum(gc * g_r, axis=1, keepdims=True)
-                       for gc in gtex_cols]
-                gtg = [jnp.sum(gc * g_g, axis=1, keepdims=True)
-                       for gc in gtex_cols]
-                gtb = [jnp.sum(gc * g_b, axis=1, keepdims=True)
-                       for gc in gtex_cols]
-                gtex_lanes = gtr + gtg + gtb
+                    if cfg.tex_grads:
+                        gtex_cols.append(msel * zp_softmax * zgate)
+                if cfg.tex_grads:
+                    gtr = [jnp.sum(gc * g_r, axis=1, keepdims=True)
+                           for gc in gtex_cols]
+                    gtg = [jnp.sum(gc * g_g, axis=1, keepdims=True)
+                           for gc in gtex_cols]
+                    gtb = [jnp.sum(gc * g_b, axis=1, keepdims=True)
+                           for gc in gtex_cols]
+                    gtex_lanes = gtr + gtg + gtb
+                else:
+                    # caller guarantees stop_gradient textures
+                    gtex_lanes = [jnp.zeros((rk.GROUP, 3 * cfg.T2),
+                                            dtype)]
 
                 if cfg.rgb_geom_detach:
                     # fused mask+texture render: the reference detaches
@@ -190,7 +196,8 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
 def run_backward(face_vertices, textures, rgba, aggr,
                  g_rgba, S, bgc, near, far, eps, sigma, dist_eps, gamma,
                  double_side, ts, max_cover, mf_cap, mask_only=False,
-                 rgb_geom_detach=False, entry_cap=None, interpret=False):
+                 rgb_geom_detach=False, entry_cap=None, interpret=False,
+                 tex_grads=True):
     """Returns (grad_face_vertices [B,F,3,3], grad_textures [B,F,T2,3])."""
     B, F = face_vertices.shape[:2]
     T2 = textures.shape[2]
@@ -204,7 +211,8 @@ def run_backward(face_vertices, textures, rgba, aggr,
     cfg = rk._make_cfg(S, bgc, near, far, eps, sigma, dist_eps, gamma,
                        double_side, ts, T2, mf_cap)
     cfg = cfg._replace(mask_only=mask_only,
-                       rgb_geom_detach=rgb_geom_detach)
+                       rgb_geom_detach=rgb_geom_detach,
+                       tex_grads=tex_grads)
     TX, P = cfg.TX, cfg.P
     n_tiles = TX * TX
 

@@ -118,9 +118,10 @@ class SoftRenderer:
         return orthographic_proj_withz(verts, cams)[:, :, :2]
 
     def __call__(self, vertices, faces, cams, textures=None,
-                 need_p2f=False, mask_only=False, rgb_geom_detach=False):
+                 need_p2f=False, mask_only=False, rgb_geom_detach=False,
+                 tex_grads=True):
         return self.render(vertices, faces, cams, textures, need_p2f,
-                           mask_only, rgb_geom_detach)
+                           mask_only, rgb_geom_detach, tex_grads)
 
     def uses_pallas(self, textures_channels=3, textures_t2=36):
         import jax as _jax
@@ -139,7 +140,7 @@ class SoftRenderer:
 
     def render(self, vertices, faces, cams, textures=None,
                need_p2f=False, mask_only=False,
-               rgb_geom_detach=False) -> RasterOut:
+               rgb_geom_detach=False, tex_grads=True) -> RasterOut:
         """vertices: [B,V,3]; faces: [F,3] or [B,F,3]; cams: [B,7];
         textures: [B,F,T2,3] or None. Returns RasterOut with
         rgba [B,H,W,4] at image_size (after 2x supersampled AA if enabled).
@@ -147,7 +148,9 @@ class SoftRenderer:
         need_p2f: the Pallas kernel path skips the (large) per-face
         expected-coordinate side output unless requested; set True when the
         caller consumes RasterOut.p2f (the stage-1 texture-cycle loss).
-        The XLA paths always compute it.
+        The XLA paths always compute it. tex_grads=False (kernel path
+        only) skips texture gradients in the backward — valid only when
+        textures are stop_gradient'ed by the caller.
         """
         verts = orthographic_proj_withz(vertices, cams, offset_z=self.offset_z)
         # y flip into image coords (ref: nnutils/smr.py:36)
@@ -226,6 +229,7 @@ class SoftRenderer:
                 need_p2f=need_p2f,
                 mask_only=mask_only,
                 rgb_geom_detach=rgb_geom_detach,
+                tex_grads=tex_grads,
             )
         elif use_binned:
             from ..ops.rasterize_binned import soft_rasterize_binned

@@ -264,7 +264,7 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
             angles = jax.random.randint(k_gan, (B,), 0, 180)
             random_cams = rotate_cam(proj_cam, angles)
             unseen = dis_renderer.render(
-                pred_vs, faces, random_cams, stop(tex)
+                pred_vs, faces, random_cams, stop(tex), tex_grads=False
             ).rgba[..., :3]
             real = batch["real_imgs"]
 
