@@ -186,9 +186,15 @@ def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
         tu = [t[j] - ws[j] for j in range(3)]
         dxu = tu[0] * x[0] + tu[1] * x[1] + tu[2] * x[2]
         dyu = tu[0] * y[0] + tu[1] * y[1] + tu[2] * y[2]
-        tc = [jnp.clip(t[j], 0.0, 1.0) - ws[j] for j in range(3)]
-        dxc = tc[0] * x[0] + tc[1] * x[1] + tc[2] * x[2]
-        dyc = tc[0] * y[0] + tc[1] * y[1] + tc[2] * y[2]
+        # clamped foot point via its delta from the unclamped one:
+        # clip(1-t,0,1) - (1-t) == -(clip(t,0,1) - t), so only the v0/v1
+        # components shift, by +/-delta — cheaper than re-deriving tc
+        delta = jnp.clip(tv0, 0.0, 1.0) - tv0
+        tc = list(tu)
+        tc[v0] = tu[v0] + delta
+        tc[v1] = tu[v1] - delta
+        dxc = dxu + delta * (x[v0] - x[v1])
+        dyc = dyu + delta * (y[v0] - y[v1])
         return tu, dxu, dyu, tc, dxc, dyc
 
     tu0, dxu0, dyu0, tc0, dxc0, dyc0 = edge(0)
@@ -258,13 +264,11 @@ def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
                         (R - 1 - w_y) * R + (R - 1 - w_x))
     tex_idx = jnp.clip(tex_idx, 0, cfg.T2 - 1)
 
-    inside01 = ((w0 >= 0) & (w0 <= 1) & (w1 >= 0) & (w1 <= 1)
-                & (w2 >= 0) & (w2 <= 1))
     return dict(
         valid=valid, frag=frag, sign=sign, dis_x=dis_x, dis_y=dis_y,
         t=t_sel, w=(w0, w1, w2), wc=(w0c, w1c, w2c), z=z, rz=rz, zp=zp,
         rgb_valid=rgb_valid, tex_idx=tex_idx, inside=inside,
-        inside01=inside01, z_ok=z_ok, front_ok=front_ok, fid=col(_EFID),
+        z_ok=z_ok, front_ok=front_ok, fid=col(_EFID),
     )
 
 
@@ -368,7 +372,10 @@ def _fwd_kernel(starts_ref, data_hbm, out_ref, p2f_ref,
                 frag = pm["frag"]
                 la = la + jnp.sum(jnp.log1p(-frag), axis=0, keepdims=True)
 
-                cand = (pm["valid"] & pm["z_ok"] & pm["inside01"]
+                w0h, w1h, w2h = pm["w"]
+                inside01 = ((w0h >= 0) & (w0h <= 1) & (w1h >= 0)
+                            & (w1h <= 1) & (w2h >= 0) & (w2h <= 1))
+                cand = (pm["valid"] & pm["z_ok"] & inside01
                         & pm["front_ok"])
                 zc = jnp.where(cand, pm["zp"], 1e7)
                 gmin = jnp.min(zc, axis=0, keepdims=True)
