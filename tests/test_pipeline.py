@@ -96,19 +96,30 @@ def test_full_pipeline(tmp_path):
     from umr_tpu.experiments import test_iou as tiou
 
     cfg_iou = _cfg(tmp, name="iou", use_scops=False, model_path=s2_pth,
-                   split="test")
+                   split="test", visualize=True,
+                   results_vis_dir=os.path.join(tmp, "rvis_iou"))
     iou = tiou.run(cfg_iou, dataloader=_Loader(n=1))
     assert 0.0 <= iou <= 1.0
+    # Tester-style dumps landed (ref: nnutils/test_utils.py:118-148)
+    iou_vis = os.path.join(tmp, "rvis_iou", "vis_iter_0")
+    for f in ("image_gt.png", "mask_pred.png", "mesh_0.obj"):
+        assert os.path.exists(os.path.join(iou_vis, f)), f
 
     from umr_tpu.experiments import test_kp as tkp
 
     for mode in ("flow", "cam"):
         cfg_kp = _cfg(tmp, name="kp", use_scops=False, model_path=s2_pth,
-                      split="test", mode=mode, batch_size=2)
+                      split="test", mode=mode, batch_size=2,
+                      visualize=(mode == "flow"),
+                      results_vis_dir=os.path.join(tmp, "rvis_kp"))
         pck1, pck15 = tkp.run(
             cfg_kp, loaders=(_PairLoader(seed=1), _PairLoader(seed=2))
         )
         assert 0.0 <= pck1 <= 1.0 and pck1 <= pck15 + 1e-9
+    # kp-overlay dumps landed (ref: test_kp.py:263-309)
+    kp_vis = os.path.join(tmp, "rvis_kp", "vis_iter_0")
+    for f in ("source.png", "target.png", "gt_img.png"):
+        assert os.path.exists(os.path.join(kp_vis, f)), f
 
     # ---- demo -------------------------------------------------------------
     import imageio.v2 as imageio

@@ -82,6 +82,10 @@ class Config:
     mode: str = "flow"
     sigma: int = 3
     visualize: bool = False
+    # Tester visual dumps go to results_vis_dir/vis_iter_{n}/
+    # (ref: nnutils/test_utils.py:63,118-148)
+    results_vis_dir: str = "cachedir/results_vis"
+    sample_num: int = 4            # samples per eval visual dump
 
     # ---- loss weights (ref: train_s2.py:49-60 / train_s1.py:46-67) -----
     mask_loss_wt: float = 2.5

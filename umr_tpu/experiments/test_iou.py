@@ -61,6 +61,45 @@ def predict_masks(model, variables, renderer, faces, template, batch_img,
     return rendered.rgba[..., 3], out
 
 
+def _save_iou_visuals(cfg, template, variables, db, out, pred_mask,
+                      vis_iter):
+    """Tester-style eval dumps (ref: nnutils/test_utils.py:118-148):
+    per-sample textured mesh .obj plus gt/pred image grids, into
+    results_vis_dir/vis_iter_{n}/. Capped at the first few batches and
+    cfg.sample_num samples per batch."""
+    import os
+
+    from ..models.mesh_net import symmetrize
+    from ..ops.grid_sample import sample_textures
+    from ..training.visuals import save_visuals
+
+    n = min(cfg.sample_num, db["img"].shape[0])
+    vis = {
+        "image_gt": np.asarray(db["img"][:n]),
+        "mask_gt": np.asarray(db["mask"][:n])[..., None],
+        "mask_pred": np.asarray(pred_mask[:n])[..., None],
+    }
+    mean_shape = symmetrize(variables["template"]["mean_v"], template)
+    verts = np.asarray(
+        mean_shape[None]
+        + symmetrize(jnp.asarray(out["delta_v"][:n]), template)
+    )
+    tex = None
+    if "tex_flow" in out:
+        t = sample_textures(
+            jnp.asarray(out["tex_flow"][:n]), jnp.asarray(db["img"][:n])
+        )
+        B, F, T = t.shape[:3]
+        tex = np.asarray(t.reshape(B, F, T * T, 3))
+    for i in range(n):
+        vis[f"mesh_{i}"] = (
+            verts[i], np.asarray(template.faces),
+            tex[i] if tex is not None else None,
+        )
+    out_dir = os.path.join(cfg.results_vis_dir, f"vis_iter_{vis_iter}")
+    save_visuals(vis, out_dir)
+
+
 def run(cfg: Config, dataloader=None):
     template = build_template(cfg.subdivide, cfg.axis, cfg.tex_size)
     model, variables = build_eval_model(cfg, template)
@@ -73,24 +112,29 @@ def run(cfg: Config, dataloader=None):
     if dataloader is None:
         dataloader = cub_data.data_loader(cfg, shuffle=False, mirror=False)
 
-    pred_fn = jax.jit(
-        lambda img, rng: predict_masks(
+    @jax.jit
+    def pred_fn(img, rng):
+        mask, out = predict_masks(
             model, variables, renderer, faces, template, img, rng
-        )[0]
-    )
+        )
+        return mask, out
 
     ious = []
+    vis_iter = 0
     rng = jax.random.key(cfg.seed)
     for batch in dataloader:
         db = prepare_batch(batch, use_scops=False, use_texture=False)
-        pred_mask = np.asarray(
-            pred_fn(jnp.asarray(db["input_img"]), rng)
-        )
+        pred_mask, out = pred_fn(jnp.asarray(db["input_img"]), rng)
+        pred_mask = np.asarray(pred_mask)
         mask_gt = db["mask"].reshape(db["mask"].shape[0], -1)
         mask_pred = pred_mask.reshape(pred_mask.shape[0], -1)
         inter = (mask_gt * mask_pred).sum(1)
         union = (mask_gt + mask_pred - mask_gt * mask_pred).sum(1)
         ious.append(inter / union)
+        if cfg.visualize and vis_iter < 5:
+            _save_iou_visuals(cfg, template, variables, db, out, pred_mask,
+                              vis_iter)
+            vis_iter += 1
     iou = float(np.concatenate(ious).mean())
     print(green("Average mask IoU: {:.4f}.".format(iou)))
     return iou

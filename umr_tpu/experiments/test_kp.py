@@ -67,6 +67,8 @@ def map_kp_flow(kp_src, flow_src, flow_tgt, image_size, sigma=3.0):
         sgrid, flow_tgt.reshape(1, F, -1, 2)
     ).mean(axis=2)[0]  # [F,2]
 
+    # `* 256` (not `* image_size`) preserved on purpose: the reference
+    # hardcodes 256 here regardless of --img_size (ref: test_kp.py:146)
     kp_px = (kp_src[:, 0:2] + 1) / 2.0 * 256
     hp = kp_heatmaps(kp_px, S, sigma)  # [K,H,W]
     k2face = grid_sample(
@@ -95,6 +97,36 @@ def map_kp_cam(kp_src, cam_src, cam_tgt, mask_tgt, mean_shape,
     dk = ((kp_src[:, None, 0:2] - vert2d_src[None, :, :]) ** 2).sum(-1)
     kp2proj_idx = dk.argmin(axis=1)  # [K]
     return sgrid[proj2fg_idx[kp2proj_idx]]
+
+
+def _save_kp_visuals(cfg, imgs, kps, k2_to_k1, visible, vis_iter):
+    """--visualize: keypoint overlays saved to
+    results_vis_dir/vis_iter_{n}/{source,target,gt_img}.png
+    (ref: test_kp.py:263-309 + Tester.save_current_visuals,
+    nnutils/test_utils.py:118-148). The `* 256` pixel scaling is the
+    reference's hardcode (test_kp.py:278-282)."""
+    import os
+
+    from ..training.visuals import save_visuals
+    from ..utils.image import draw_kp_circles
+
+    to_u8 = lambda im: np.asarray(
+        np.clip(im, 0, 1) * 255, np.uint8
+    )
+    px = lambda k: (np.asarray(k)[:, 0:2] + 1) / 2.0 * 256
+    vis_imgs = {
+        # img1 with the transferred keypoints
+        "target": draw_kp_circles(to_u8(imgs[0]), px(k2_to_k1), visible),
+        # img2 with its GT keypoints (the transfer source)
+        "source": draw_kp_circles(to_u8(imgs[1]), px(kps[1]), visible),
+        # img1 with its GT keypoints
+        "gt_img": draw_kp_circles(to_u8(imgs[0]), px(kps[0]), visible),
+    }
+    out_dir = os.path.join(cfg.results_vis_dir, f"vis_iter_{vis_iter}")
+    save_visuals(
+        {k: v[None].astype(np.float32) / 255.0 for k, v in vis_imgs.items()},
+        out_dir,
+    )
 
 
 def run(cfg: Config, loaders=None):
@@ -167,6 +199,8 @@ def run(cfg: Config, loaders=None):
         err = np.sqrt((err ** 2).sum(axis=2)) * err_scaling
         kp_errs.append(err)
         kp_vis.append(vis)
+        if cfg.visualize:
+            _save_kp_visuals(cfg, imgs, kps, kps_pred[0], vis[0], n_done)
         n_done += 1
         if n_done >= cfg.number_pairs:
             break

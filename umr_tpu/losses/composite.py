@@ -255,8 +255,10 @@ class PartMatchingLoss:
         )
 
     def __call__(self, verts, faces, cams, part_segs, cam_probs=None,
-                 avg=True):
+                 avg=True, bins=None):
         """part_segs: [B, num_parts+1, H, W] normalized SCOPS part maps.
+        bins: optional shared face->tile binning (the part renders use the
+        same projected geometry as the hard visibility pass).
         Returns (total_loss, projs [B,num_parts,H,W])."""
         B = verts.shape[0]
         tex_all = jnp.broadcast_to(
@@ -276,7 +278,7 @@ class PartMatchingLoss:
                 )
             # part textures are constants: skip texture grads in the bwd
             out = self.renderer.render(verts, faces, cams, stop(sub),
-                                       tex_grads=False)
+                                       tex_grads=False, bins=bins)
             chans.append(out.rgba[..., : min(3, self.num_parts - c0)])
         projs = jnp.concatenate(chans, axis=-1)  # [B,H,W,P]
         projs = projs.transpose(0, 3, 1, 2)      # [B,P,H,W]

@@ -25,19 +25,21 @@ class Encoder(nn.Module):
 
     nz_feat: int = 200
     z_dim: int = 350
+    dtype: Any = None       # conv compute dtype (bf16 mixed precision)
 
     @nn.compact
     def __call__(self, img, train: bool = True):
         from .resnet import ResNet18Conv
 
-        x = ResNet18Conv(n_blocks=4, name="resnet")(img, train)
+        x = ResNet18Conv(n_blocks=4, dtype=self.dtype,
+                         name="resnet")(img, train)
         if x.shape[1] >= 2:
-            x = ConvBlock(256, kernel_size=4, stride=2,
+            x = ConvBlock(256, kernel_size=4, stride=2, dtype=self.dtype,
                           name="enc_conv1")(x, train)
         else:
             # tiny test images (<64 px): the 4x4/s2 conv would produce an
             # empty map; keep a 1x1 conv so shapes stay valid
-            x = ConvBlock(256, kernel_size=1, stride=1,
+            x = ConvBlock(256, kernel_size=1, stride=1, dtype=self.dtype,
                           name="enc_conv1")(x, train)
         # flatten in torch CHW order so Linear weights are 1:1 importable
         # from reference checkpoints (ref: cub_mesh.py:112)
@@ -105,6 +107,7 @@ class TexturePredictorUV(nn.Module):
     nc_init: int = 256
     symmetric: bool = True
     num_sym_faces: int = 624
+    dtype: Any = None         # decoder conv compute dtype
 
     @nn.compact
     def __call__(self, feat, train: bool = True):
@@ -115,7 +118,7 @@ class TexturePredictorUV(nn.Module):
         x = x.reshape(B, self.nc_init, feat_H, feat_W)
         x = x.transpose(0, 2, 3, 1)  # NHWC
         x = Decoder2d(self.n_upconv, self.nc_init, nc_final=2,
-                      name="decoder")(x, train)
+                      dtype=self.dtype, name="decoder")(x, train)
         uv_image = jnp.tanh(x)  # [B, H, W, 2]
 
         sampler = jnp.asarray(self.uv_sampler)  # [F,T,T,2]
@@ -193,10 +196,21 @@ class Camera(nn.Module):
     """One camera hypothesis head -> [quat(4), prob(1), scale(1), trans(2)].
 
     Ref: nnutils/cub_mesh.py:277-301.
+
+    scale_lr / scale_bias: accepted and DROPPED, faithfully to the
+    reference — its Camera.__init__ takes scale_lr=0.05, scale_bias=1.0
+    (cub_mesh.py:279, fed from opts.scale_lr_decay/scale_bias at :418 via
+    MultiCamPredictor :315-316) but constructs `ScalePredictor(nz_input)`
+    WITHOUT passing them (:289), so every s2 hypothesis scale head runs at
+    the ScalePredictor defaults lr=1.0, bias=1.0 (:209). The effective
+    scale is relu(1.0*linear(feat) + 1.0) + 1e-12; preserving that (not
+    the dead flags) is the parity requirement. See PARITY.md.
     """
 
     nz_input: int
     az_ele_quat: bool = False
+    scale_lr: float = 0.05     # dead, as in the reference (cub_mesh.py:289)
+    scale_bias: float = 1.0    # dead, as in the reference (cub_mesh.py:289)
 
     @nn.compact
     def __call__(self, feat, train: bool = True):
@@ -206,7 +220,7 @@ class Camera(nn.Module):
         else:
             quat = QuatHead(name="quat")(feat)
         prob = nn.Dense(1, kernel_init=normal_init, name="prob")(feat)
-        scale = ScaleHead(name="scale")(feat)
+        scale = ScaleHead(name="scale")(feat)  # defaults, NOT self.scale_lr
         trans = TransHead(name="trans")(feat)
         return jnp.concatenate([quat, prob, scale, trans], axis=1)
 
@@ -240,15 +254,17 @@ class MultiCamPredictor(nn.Module):
     nz_feat: int = 200
     num_cams: int = 8
     az_ele_quat: bool = False
+    scale_lr: float = 0.05     # threaded to Camera, dead there (see Camera)
+    scale_bias: float = 1.0
 
     @nn.compact
     def __call__(self, feat, train: bool = True):
         x = FCStack(self.nz_feat, 2, use_bn=False, name="fc")(feat, train)
         cams = jnp.stack(
             [
-                Camera(self.nz_feat, self.az_ele_quat, name=f"camera_{i}")(
-                    x, train
-                )
+                Camera(self.nz_feat, self.az_ele_quat,
+                       scale_lr=self.scale_lr, scale_bias=self.scale_bias,
+                       name=f"camera_{i}")(x, train)
                 for i in range(self.num_cams)
             ],
             axis=1,

@@ -13,6 +13,8 @@ structure + gradients, parity of the metric requires the import).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 import flax.linen as nn
 import jax
@@ -33,7 +35,13 @@ _POOL_BEFORE = {1, 2}
 
 
 class AlexNetFeatures(nn.Module):
-    """The 5 relu slices of torchvision AlexNet features (NHWC)."""
+    """The 5 relu slices of torchvision AlexNet features (NHWC).
+
+    dtype: conv compute dtype (bf16 mixed precision puts the convs on the
+    MXU at 2x f32); params stay f32, the cosine distance is taken in f32.
+    """
+
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -44,7 +52,7 @@ class AlexNetFeatures(nn.Module):
                 x = nn.max_pool(x, (3, 3), strides=(2, 2))
             x = nn.Conv(
                 feat, (k, k), (s, s), padding=[(p, p), (p, p)],
-                name=f"conv{i}",
+                dtype=self.dtype, name=f"conv{i}",
             )(x)
             x = nn.relu(x)
             outs.append(x)
@@ -54,14 +62,19 @@ class AlexNetFeatures(nn.Module):
 class LPIPSAlex(nn.Module):
     """lpips(in0, in1): images NHWC in [-1, 1] -> per-sample distance [B]."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, in0, in1):
-        net = AlexNetFeatures(name="alex")
+        net = AlexNetFeatures(dtype=self.dtype, name="alex")
         f0 = net((in0 - _SHIFT) / _SCALE)
         f1 = net((in1 - _SHIFT) / _SCALE)
         val = 0.0
         for a, b in zip(f0, f1):
-            # cos_sim over channels, averaged over space (util/util.py:71-83)
+            # cos_sim over channels in f32, averaged over space
+            # (util/util.py:71-83)
+            a = a.astype(jnp.float32)
+            b = b.astype(jnp.float32)
             an = a / jnp.maximum(
                 jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10
             )

@@ -49,15 +49,23 @@ class MeshNet(nn.Module):
     use_texture: bool = True
     pred_cam: bool = True
     multiple_cam_hypo: bool = True
+    # threaded to MultiCamPredictor like opts.scale_lr_decay/scale_bias
+    # (ref: cub_mesh.py:418) — dead at the ScaleHead, as in the reference
+    scale_lr_decay: float = 0.05
+    scale_bias: float = 1.0
+    # conv compute dtype (bf16 mixed precision); params/heads stay f32
+    compute_dtype: Any = None
 
     def setup(self):
         t = self.template
-        self.encoder = Encoder(self.nz_feat, self.z_dim)
+        self.encoder = Encoder(self.nz_feat, self.z_dim,
+                               dtype=self.compute_dtype)
         self.shape_predictor = ShapePredictor(t.num_output)
         if self.pred_cam:
             if self.multiple_cam_hypo:
                 self.cam_predictor = MultiCamPredictor(
-                    self.nz_feat, self.num_hypo_cams, self.az_ele_quat
+                    self.nz_feat, self.num_hypo_cams, self.az_ele_quat,
+                    scale_lr=self.scale_lr_decay, scale_bias=self.scale_bias,
                 )
             else:
                 self.cam_predictor = Camera(self.nz_feat)
@@ -71,6 +79,7 @@ class MeshNet(nn.Module):
                 n_upconv=min(5, int(np.log2(H))),
                 symmetric=True,
                 num_sym_faces=t.num_sym_faces,
+                dtype=self.compute_dtype,
             )
         self.mean_v = self.variable(
             "template", "mean_v", lambda: jnp.asarray(t.mean_v_init)
@@ -130,10 +139,12 @@ class MeshNetS1(nn.Module):
     z_dim: int = 350
     use_texture: bool = True
     pred_cam: bool = True
+    compute_dtype: Any = None
 
     def setup(self):
         t = self.template
-        self.encoder = Encoder(self.nz_feat, self.z_dim)
+        self.encoder = Encoder(self.nz_feat, self.z_dim,
+                               dtype=self.compute_dtype)
         self.shape_predictor = ShapePredictorMLP(t.num_output, self.z_dim)
         if self.pred_cam:
             self.quat_predictor = QuatHead(zero_rotation_init=False)
@@ -149,6 +160,7 @@ class MeshNetS1(nn.Module):
                 n_upconv=min(5, int(np.log2(H))),
                 symmetric=True,
                 num_sym_faces=t.num_sym_faces,
+                dtype=self.compute_dtype,
             )
         self.mean_v = self.variable(
             "template", "mean_v", lambda: jnp.asarray(t.mean_v_init)

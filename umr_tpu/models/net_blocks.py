@@ -8,7 +8,7 @@ upsample + reflection pad + valid conv for up-convolutions.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -16,19 +16,25 @@ import flax.linen as nn
 
 normal_init = nn.initializers.normal(stddev=0.02)
 
+# dtype fields below: conv/dense compute dtype for bf16 mixed precision
+# (params and BatchNorm stay f32); None = full f32.
+
 
 class FC(nn.Module):
     """fc(): Linear [+ BatchNorm] + LeakyReLU (ref: net_blocks.py:24-38)."""
 
     features: int
     use_bn: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Dense(self.features, kernel_init=normal_init)(x)
+        x = nn.Dense(self.features, kernel_init=normal_init,
+                     dtype=self.dtype)(x)
         if self.use_bn:
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32,
             )(x)
             return nn.leaky_relu(x, 0.2)
         return nn.leaky_relu(x, 0.1)
@@ -40,11 +46,12 @@ class FCStack(nn.Module):
     features: int
     nlayers: int
     use_bn: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         for _ in range(self.nlayers):
-            x = FC(self.features, self.use_bn)(x, train)
+            x = FC(self.features, self.use_bn, dtype=self.dtype)(x, train)
         return x
 
 
@@ -55,6 +62,7 @@ class ConvBlock(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     use_bn: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -65,10 +73,12 @@ class ConvBlock(nn.Module):
             strides=(self.stride, self.stride),
             padding=[(pad, pad), (pad, pad)],
             kernel_init=normal_init,
+            dtype=self.dtype,
         )(x)
         if self.use_bn:
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32,
             )(x)
         return nn.leaky_relu(x, 0.2)
 
@@ -89,13 +99,15 @@ class UpConvBlock(nn.Module):
 
     features: int
     mode: str = "bilinear"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         x = upsample2x(x, self.mode)
         x = reflect_pad(x, 1)
         x = nn.Conv(
-            self.features, (3, 3), padding="VALID", kernel_init=normal_init
+            self.features, (3, 3), padding="VALID", kernel_init=normal_init,
+            dtype=self.dtype,
         )(x)
         return nn.leaky_relu(x, 0.2)
 
@@ -113,6 +125,7 @@ class Decoder2d(nn.Module):
     nc_min: int = 8
     use_bn: bool = True
     upconv_mode: str = "bilinear"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -120,10 +133,12 @@ class Decoder2d(nn.Module):
         for _ in range(self.nlayers):
             if nc_output // 2 >= self.nc_min:
                 nc_output = nc_output // 2
-            x = UpConvBlock(nc_output, self.upconv_mode)(x)
-            x = ConvBlock(nc_output, use_bn=self.use_bn)(x, train)
+            x = UpConvBlock(nc_output, self.upconv_mode,
+                            dtype=self.dtype)(x)
+            x = ConvBlock(nc_output, use_bn=self.use_bn,
+                          dtype=self.dtype)(x, train)
         x = nn.Conv(
             self.nc_final, (3, 3), padding=[(1, 1), (1, 1)],
-            kernel_init=normal_init,
+            kernel_init=normal_init, dtype=self.dtype,
         )(x)
-        return x
+        return x.astype(jnp.float32)

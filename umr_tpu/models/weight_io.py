@@ -98,3 +98,43 @@ def load_npz(path):
 def load_lpips_params(path):
     """Load LPIPSAlex params saved by tools/convert_torch_weights.py."""
     return {"alex": load_npz(path)}
+
+
+def overlay_tree(dst, src, path=""):
+    """Deep-merge src into dst, asserting every src leaf exists in dst with
+    the same shape. Returns a new tree; dst is not mutated.
+
+    Used to land converted pretrained weights (resnet18 trunk, ref:
+    nnutils/cub_mesh.py:56 torchvision pretrained=True) onto a freshly
+    initialized parameter tree without touching the rest of the model."""
+    out = dict(dst)
+    for k, v in src.items():
+        assert k in dst, f"pretrained key {path}{k} not in model tree"
+        if isinstance(v, dict):
+            out[k] = overlay_tree(dst[k], v, f"{path}{k}/")
+        else:
+            have = tuple(np.shape(dst[k]))
+            want = tuple(np.shape(v))
+            assert have == want, (
+                f"shape mismatch at {path}{k}: model {have} vs "
+                f"pretrained {want}"
+            )
+            out[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
+    return out
+
+
+def load_resnet18_pretrained(params_path):
+    """Load the (params, batch_stats) npz pair written by
+    tools/convert_torch_weights.py. The stats file sits next to the params
+    file with 'params' -> 'stats' in the name; stats are optional (overlay
+    proceeds with params only)."""
+    import os
+
+    params = load_npz(params_path)
+    stats_path = params_path.replace("params", "stats")
+    stats = (
+        load_npz(stats_path)
+        if stats_path != params_path and os.path.exists(stats_path)
+        else None
+    )
+    return params, stats

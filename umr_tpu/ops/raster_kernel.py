@@ -35,7 +35,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .rasterize import RasterOut
-from .rasterize_binned import _bin_faces_one
 
 GROUP = 8        # faces per inner-loop iteration
 DMA_CH = 32      # entry rows per DMA chunk (multiple of GROUP)
@@ -533,6 +532,7 @@ def soft_rasterize_pallas(
     entry_cap=None,
     interpret=False,
     tex_grads=True,
+    bins=None,
 ):
     """Training-config rasterizer (euclidean dist, prod alpha, surface
     textures; softmax or hard RGB).
@@ -542,15 +542,17 @@ def soft_rasterize_pallas(
     semantics (see module docstring); the hard-RGB mode is forward-only
     (callers use it under stop_gradient, like the reference visibility
     pass). entry_cap bounds the binned entry array (default 8*F; see
-    _prepare). tex_grads=False skips texture gradients in the backward —
-    only valid when textures are stop_gradient'ed by the caller (GAN
-    views, constant part textures). interpret=True runs the kernels in
-    the Pallas interpreter
-    (any backend, slow) — used by the CPU test suite to validate the
-    kernel math against the CUDA-golden port without TPU hardware.
+    _compute_bins). tex_grads=False skips texture gradients in the
+    backward — only valid when textures are stop_gradient'ed by the
+    caller (GAN views, constant part textures). bins: optional
+    (al_fids, astarts) from compute_raster_bins — renders sharing the
+    same projected geometry (hard visibility + part renders) reuse one
+    binning; the backward always reuses the forward's. interpret=True
+    runs the kernels in the Pallas interpreter (any backend, slow) —
+    used by the CPU test suite to validate the kernel math against the
+    CUDA-golden port without TPU hardware.
     """
-    return _pallas_raster_vjp(
-        face_vertices, textures,
+    statics = (
         int(image_size), tuple(background_color), float(near), float(far),
         float(eps), float(sigma_val), float(dist_eps), float(gamma_val),
         bool(double_side), int(tile_size), int(max_cover), int(mf_cap),
@@ -559,6 +561,33 @@ def soft_rasterize_pallas(
         None if entry_cap is None else int(entry_cap),
         bool(interpret), bool(tex_grads),
     )
+    if bins is None:
+        cfg = _make_cfg(
+            int(image_size), tuple(background_color), float(near),
+            float(far), float(eps), float(sigma_val), float(dist_eps),
+            float(gamma_val), bool(double_side), int(tile_size),
+            textures.shape[2], int(mf_cap),
+        )
+        bins = _compute_bins(face_vertices, cfg, int(max_cover), entry_cap)
+    # bins ride through the custom_vjp as float32 (values < 2^24, exactly
+    # representable) so their cotangent is an ordinary zero array
+    dt = face_vertices.dtype
+    return _pallas_raster_vjp(
+        face_vertices, textures,
+        bins[0].astype(dt), bins[1].astype(dt), *statics
+    )
+
+
+def compute_raster_bins(face_vertices, image_size, tile_size, sigma_val,
+                        dist_eps, mf_cap, max_cover, entry_cap=None):
+    """Public binning entry point for cross-render sharing (see
+    soft_rasterize_pallas's `bins`)."""
+    cfg = _make_cfg(
+        int(image_size), (0.0, 0.0, 0.0), 1.0, 100.0, 1e-3,
+        float(sigma_val), float(dist_eps), 1e-4, True, int(tile_size),
+        1, int(mf_cap),
+    )
+    return _compute_bins(face_vertices, cfg, int(max_cover), entry_cap)
 
 
 def _make_cfg(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
@@ -573,71 +602,151 @@ def _make_cfg(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
     )
 
 
-def _prepare(face_vertices, textures, cfg: _Cfg, max_cover,
-             entry_cap=None):
-    """Binning + entry gathering (shared by fwd and bwd).
+def _entry_dims(F, n_tiles_b, max_cover, mf_cap, entry_cap=None):
+    """Static entry-array sizes shared by fwd and bwd."""
+    E = F * max_cover * max_cover
+    E_al = E + GROUP * n_tiles_b          # static upper bound
+    if entry_cap is None:
+        entry_cap = 8 * F
+    E_al = min(E_al, ((int(entry_cap) + GROUP - 1) // GROUP) * GROUP)
+    E_pad = E_al + mf_cap                 # so ds(start, mf_cap) fits
+    return E_al, E_pad
 
-    entry_cap bounds the materialized entry array (the dominant HBM cost
-    of a render: each entry is a 256-lane row). The uncapped bound is
+
+def _compute_bins(face_vertices, cfg: _Cfg, max_cover, entry_cap=None):
+    """Face->tile binning: returns (al_fids [B,E_al] int32, astarts).
+
+    Integer-valued and non-differentiable; computed ONCE per render
+    outside the custom_vjp and reused by the backward (the reference
+    re-walks all faces in its backward kernel instead,
+    ...cuda_kernel.cu:479+). entry_cap bounds the materialized entry
+    array (the dominant HBM cost of a render). The uncapped bound is
     F*max_cover^2 + padding, ~4x what real scenes use; the default cap of
     8*F keeps ~2x headroom over measured training scenes. When a scene
     exceeds the cap, the highest-tile-id entries are dropped (same
     truncation-by-capacity semantics as mf_cap). fwd and bwd share this
     deterministic layout, so gradients always match the rendered image.
+
+    SORT-FREE: a face covers each tile at most once, so the rank of face
+    f among tile t's entries is simply the number of earlier faces
+    covering t — the exclusive cumsum over faces of the dense [F, T]
+    cover matrix. This replaces the per-image argsort of F*max_cover^2
+    keys (a multi-pass bitonic sort on TPU, formerly the dominant
+    prepare cost) with one scatter + one 1.3 MB cumsum, and produces the
+    EXACT layout the stable sort produced (tile-major, face order within
+    a tile).
     """
+    face_vertices = jax.lax.stop_gradient(face_vertices)
     B, F = face_vertices.shape[:2]
-    face_valid = jnp.ones((F,), bool)
+    S, ts, TX = cfg.S, cfg.ts, cfg.TX
+    n_tiles_b = TX * TX
+    E_al, _E_pad = _entry_dims(F, n_tiles_b, max_cover, cfg.mf_cap,
+                               entry_cap)
+    margin = cfg.thr_margin
 
     def bin_one(fv):
-        return _bin_faces_one(
-            fv[:, :, 0], fv[:, :, 1],
-            face_valid, cfg.S, cfg.ts, cfg.thr_margin, max_cover,
-        )
+        face_x = fv[:, :, 0]
+        face_y = fv[:, :, 1]
+        # tile cover ranges (identical math to rasterize_binned's
+        # _bin_faces_one)
+        col_min = (face_x.min(-1) - margin) * S / 2 + (S - 1) / 2
+        col_max = (face_x.max(-1) + margin) * S / 2 + (S - 1) / 2
+        row_min = ((S - 1) - (face_y.max(-1) + margin) * S) / 2
+        row_max = ((S - 1) - (face_y.min(-1) - margin) * S) / 2
+        tx0 = jnp.clip(jnp.floor(col_min / ts), 0, TX - 1).astype(jnp.int32)
+        tx1 = jnp.clip(jnp.floor(col_max / ts), 0, TX - 1).astype(jnp.int32)
+        ty0 = jnp.clip(jnp.floor(row_min / ts), 0, TX - 1).astype(jnp.int32)
+        ty1 = jnp.clip(jnp.floor(row_max / ts), 0, TX - 1).astype(jnp.int32)
+        offscreen = ((col_max < 0) | (col_min > S - 1)
+                     | (row_max < 0) | (row_min > S - 1))
 
-    sorted_fids, sorted_keys, starts = jax.vmap(bin_one)(face_vertices)
-    E = sorted_fids.shape[1]
+        dx = jnp.arange(max_cover, dtype=jnp.int32)
+        txs = tx0[:, None] + dx[None, :]                 # [F, C]
+        tys = ty0[:, None] + dx[None, :]
+        ok_x = (txs <= tx1[:, None]) & (txs < TX)
+        ok_y = (tys <= ty1[:, None]) & (tys < TX)
+        tile = tys[:, :, None] * TX + txs[:, None, :]    # [F, C, C]
+        ok = ok_y[:, :, None] & ok_x[:, None, :] \
+            & (~offscreen)[:, None, None]
+
+        # dense cover matrix + per-tile face rank via cumsum over faces.
+        # cov is built with a compare-reduce and the rank read back with
+        # an einsum against the same one-hot — NOT scatter/gather ops,
+        # which serialize on TPU and dominated the old binning cost
+        farange = jnp.arange(F, dtype=jnp.int32)
+        C2 = max_cover * max_cover
+        tile_d = jnp.where(ok, tile, n_tiles_b).reshape(F, C2)
+        oh = (
+            tile_d[:, :, None]
+            == jnp.arange(n_tiles_b, dtype=jnp.int32)[None, None, :]
+        )                                                # [F, C2, T]
+        cov = oh.any(axis=1).astype(jnp.float32)         # [F, T] 0/1
+        inc = jnp.cumsum(cov, axis=0)                    # inclusive, f32
+        # counts <= mf_cap <= 2^24: exact in f32
+        counts = jnp.minimum(inc[-1], cfg.mf_cap).astype(jnp.int32)  # [T]
+
+        # 8-aligned per-tile entry layout: DMA offsets must be divisible
+        # by the sublane tiling (8), so each tile's range starts at a
+        # multiple of GROUP; padding slots carry the dummy face id F
+        padded = ((counts + GROUP - 1) // GROUP) * GROUP
+        ends = jnp.minimum(jnp.cumsum(padded), E_al).astype(jnp.int32)
+        astart = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends])
+        allowed = jnp.minimum(counts, ends - astart[:-1])
+
+        # per-entry (rank, allowed, astart) read back through ONE einsum
+        # against the one-hot (a [C2, T] x [T, 3] contraction per face) —
+        # dump entries (oh all-zero) get 0s and are routed to the dump
+        # slot below; values stay < 2^24 so f32 is exact
+        vals = jnp.stack(
+            [inc,
+             jnp.broadcast_to(allowed.astype(jnp.float32)[None], inc.shape),
+             jnp.broadcast_to(
+                 astart[:-1].astype(jnp.float32)[None], inc.shape)],
+            axis=-1,
+        )                                                # [F, T, 3]
+        got = jnp.einsum(
+            "fct,fts->fcs", oh.astype(jnp.float32), vals
+        )                                                # [F, C2, 3]
+        rank = got[..., 0].astype(jnp.int32) - 1
+        allowed_g = got[..., 1].astype(jnp.int32)
+        astart_g = got[..., 2].astype(jnp.int32)
+
+        ok_flat = ok.reshape(F, C2)
+        entry_ok = ok_flat & (rank < allowed_g)
+        position = astart_g + rank
+        position = jnp.where(entry_ok, position, E_al)   # dump slot
+
+        # positions are unique by construction except the shared dump
+        # slot E_al, which is sliced off — safe to promise uniqueness so
+        # XLA emits the fast scatter
+        fids = jnp.broadcast_to(farange[:, None], (F, C2))
+        al_fids = jnp.full((E_al + 1,), F, jnp.int32).at[
+            position.reshape(-1)
+        ].set(fids.reshape(-1), unique_indices=True)[:E_al]
+        return al_fids, astart
+
+    return jax.vmap(bin_one)(face_vertices)
+
+
+def _prepare(face_vertices, textures, cfg: _Cfg, max_cover,
+             entry_cap=None, bins=None):
+    """Entry gathering (+ binning when bins isn't supplied).
+
+    bins: optional (al_fids, astarts) from _compute_bins — the backward
+    pass and renders sharing projected geometry reuse them instead of
+    re-sorting.
+    """
+    B, F = face_vertices.shape[:2]
     n_tiles_b = cfg.TX * cfg.TX
-
-    # ---- 8-aligned per-tile entry layout ------------------------------
-    # DMA offsets must be provably divisible by the sublane tiling (8), so
-    # each tile's entry range starts at a multiple of GROUP. Padding slots
-    # reference a dummy offscreen face (row F of the extended data) that
-    # every cull rejects.
-    counts = jnp.minimum(starts[:, 1:] - starts[:, :-1], cfg.mf_cap)
-    padded = ((counts + GROUP - 1) // GROUP) * GROUP
-    E_al = E + GROUP * n_tiles_b          # static upper bound
-    if entry_cap is None:
-        entry_cap = 8 * F
-    E_al = min(E_al, ((int(entry_cap) + GROUP - 1) // GROUP) * GROUP)
-    E_pad = E_al + cfg.mf_cap             # so ds(start, mf_cap) fits
-
-    ends = jnp.minimum(jnp.cumsum(padded, axis=1), E_al).astype(jnp.int32)
-    astarts = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), ends], axis=1
-    )
-    # per-tile admitted entries: capacity may shrink when the cap bites
-    allowed = jnp.minimum(counts, ends - astarts[:, :-1])
-    allowed_ext = jnp.concatenate(
-        [allowed, jnp.zeros((B, 1), jnp.int32)], axis=1
-    )
-
-    key_clip = jnp.minimum(sorted_keys, n_tiles_b)
-    starts_ext = jnp.concatenate([starts, starts[:, -1:]], axis=1)
-    astarts_ext = jnp.concatenate([astarts, astarts[:, -1:]], axis=1)
-    rank = (
-        jnp.arange(E, dtype=jnp.int32)[None, :]
-        - jnp.take_along_axis(starts_ext, key_clip, axis=1)
-    )
-    entry_ok = (sorted_keys < n_tiles_b) & (
-        rank < jnp.take_along_axis(allowed_ext, key_clip, axis=1)
-    )
-    position = jnp.take_along_axis(astarts_ext, key_clip, axis=1) + rank
-    position = jnp.where(entry_ok, position, E_al)  # dump slot
-
-    def scatter_fids(pos, fids):
-        return jnp.full((E_al + 1,), F, jnp.int32).at[pos].set(fids)[:E_al]
-
-    al_fids = jax.vmap(scatter_fids)(position, sorted_fids)
+    E_al, E_pad = _entry_dims(F, n_tiles_b, max_cover, cfg.mf_cap,
+                              entry_cap)
+    if bins is None:
+        al_fids, astarts = _compute_bins(
+            face_vertices, cfg, max_cover, entry_cap
+        )
+    else:
+        al_fids, astarts = bins
+        assert al_fids.shape == (B, E_al), (al_fids.shape, (B, E_al))
 
     dtype = face_vertices.dtype
     # dummy offscreen face for padding slots (every cull rejects it)
@@ -678,20 +787,23 @@ def _prepare(face_vertices, textures, cfg: _Cfg, max_cover,
     return (al_fids, astarts, entry_data, E_al, E_pad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(2, 21)))
-def _pallas_raster_vjp(face_vertices, textures, S, bgc, near, far, eps,
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(4, 23)))
+def _pallas_raster_vjp(face_vertices, textures, bins_fids, bins_starts,
+                       S, bgc, near, far, eps,
                        sigma, dist_eps, gamma, double_side, ts, max_cover,
                        mf_cap, hard, need_p2f, mask_only, rgb_geom_detach,
                        entry_cap, interpret, tex_grads):
     out, _res = _pallas_fwd(
-        face_vertices, textures, S, bgc, near, far, eps, sigma, dist_eps,
+        face_vertices, textures, bins_fids, bins_starts,
+        S, bgc, near, far, eps, sigma, dist_eps,
         gamma, double_side, ts, max_cover, mf_cap, hard, need_p2f,
         mask_only, entry_cap=entry_cap, interpret=interpret,
     )
     return out
 
 
-def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
+def _pallas_fwd(face_vertices, textures, bins_fids, bins_starts,
+                S, bgc, near, far, eps, sigma,
                 dist_eps, gamma, double_side, ts, max_cover, mf_cap,
                 hard=False, need_p2f=True, mask_only=False,
                 rgb_geom_detach=False, entry_cap=None, interpret=False,
@@ -711,8 +823,10 @@ def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
                        mask_only=(mask_only and not hard), tpg=tpg)
     n_tiles = cfg.TX * cfg.TX
 
+    bins = (bins_fids.astype(jnp.int32), bins_starts.astype(jnp.int32))
     (al_fids, astarts, entry_data, E_al, E_pad
-     ) = _prepare(face_vertices, textures, cfg, max_cover, entry_cap)
+     ) = _prepare(face_vertices, textures, cfg, max_cover, entry_cap,
+                  bins=bins)
 
     out, p2f_entry = _run_fwd_kernel(
         entry_data, astarts, cfg, B, E_pad, n_tiles, interpret=interpret
@@ -738,7 +852,10 @@ def _pallas_fwd(face_vertices, textures, S, bgc, near, far, eps, sigma,
     else:
         p2f = jnp.zeros((B, F, 2), face_vertices.dtype)
 
-    res = (face_vertices, textures, rgba, aggr)
+    # residuals carry the forward's entry layout so the backward never
+    # re-bins or re-gathers (the entry array is the dominant HBM cost)
+    res = (face_vertices, textures, rgba, aggr, bins_fids, bins_starts,
+           entry_data, al_fids, astarts)
     return RasterOut(rgba=rgba, p2f=p2f, aggr=aggr), res
 
 
@@ -748,22 +865,28 @@ def _pallas_bwd(S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side,
                 res, grads):
     from .raster_kernel_bwd import run_backward
 
-    face_vertices, textures, rgba, aggr = res
+    (face_vertices, textures, rgba, aggr, bins_fids, bins_starts,
+     entry_data, al_fids, astarts) = res
+    zb = (jnp.zeros_like(bins_fids), jnp.zeros_like(bins_starts))
     if hard:
         # hard RGB is a forward-only visibility pass (the reference only
         # ever calls it on detached inputs)
-        return jnp.zeros_like(face_vertices), jnp.zeros_like(textures)
+        return (jnp.zeros_like(face_vertices), jnp.zeros_like(textures),
+                *zb)
     g_rgba = grads.rgba
-    return run_backward(
+    gfv, gtex = run_backward(
         face_vertices, textures, rgba, aggr, g_rgba,
         S, bgc, near, far, eps, sigma, dist_eps, gamma, double_side, ts,
         max_cover, mf_cap, mask_only, rgb_geom_detach, entry_cap,
         interpret, tex_grads,
+        prep=(al_fids, astarts, entry_data),
     )
+    return (gfv, gtex, *zb)
 
 
-def _fwd_rule(face_vertices, textures, *nd):
-    out, res = _pallas_fwd(face_vertices, textures, *nd)
+def _fwd_rule(face_vertices, textures, bins_fids, bins_starts, *nd):
+    out, res = _pallas_fwd(face_vertices, textures, bins_fids,
+                           bins_starts, *nd)
     return out, res
 
 

@@ -197,8 +197,12 @@ def run_backward(face_vertices, textures, rgba, aggr,
                  g_rgba, S, bgc, near, far, eps, sigma, dist_eps, gamma,
                  double_side, ts, max_cover, mf_cap, mask_only=False,
                  rgb_geom_detach=False, entry_cap=None, interpret=False,
-                 tex_grads=True):
-    """Returns (grad_face_vertices [B,F,3,3], grad_textures [B,F,T2,3])."""
+                 tex_grads=True, prep=None):
+    """Returns (grad_face_vertices [B,F,3,3], grad_textures [B,F,T2,3]).
+
+    prep: (al_fids, astarts, entry_data) saved by the forward — reusing
+    it skips the bin/sort/gather entirely (the forward's layout is
+    deterministic, so gradients always match the rendered image)."""
     B, F = face_vertices.shape[:2]
     T2 = textures.shape[2]
     if _GTEX0 + 3 * T2 > 128:
@@ -216,10 +220,14 @@ def run_backward(face_vertices, textures, rgba, aggr,
     TX, P = cfg.TX, cfg.P
     n_tiles = TX * TX
 
-    (al_fids, astarts, entry_data, E_al, E_pad
-     ) = rk._prepare(face_vertices, textures, cfg, max_cover, entry_cap)
-    # binning is deterministic; reuse is safe (argsort ties resolved the
-    # same way for the same inputs)
+    E_al, E_pad = rk._entry_dims(F, n_tiles, max_cover, cfg.mf_cap,
+                                 entry_cap)
+    if prep is not None:
+        al_fids, astarts, entry_data = prep
+    else:
+        (al_fids, astarts, entry_data, E_al, E_pad
+         ) = rk._prepare(face_vertices, textures, cfg, max_cover,
+                         entry_cap)
 
     # build the per-tile pixel block: rows = g_r,g_g,g_b,g_a, r,g,b,a, s, m
     def tile_rows(img_rows):

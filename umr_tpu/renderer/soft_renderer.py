@@ -117,11 +117,38 @@ class SoftRenderer:
         """[B,N,3], [B,7] -> [B,N,2] (ref: nnutils/smr.py:76-78)."""
         return orthographic_proj_withz(verts, cams)[:, :, :2]
 
+    def project_faces(self, vertices, faces, cams):
+        """The camera transform render() applies, exposed so callers can
+        bin once and share across renders (see compute_bins)."""
+        verts = orthographic_proj_withz(vertices, cams,
+                                        offset_z=self.offset_z)
+        verts = verts * jnp.array([1.0, -1.0, 1.0], dtype=verts.dtype)
+        verts = verts - jnp.asarray(self.eye, dtype=verts.dtype)
+        if faces.ndim == 2:
+            return face_vertices_of(verts, faces)
+        return _gather_faces(verts, faces)
+
+    def compute_bins(self, vertices, faces, cams):
+        """Face->tile binning for the Pallas kernel path, computed once so
+        multiple renders of the SAME projected geometry (e.g. the hard
+        visibility pass + the semantic part renders, which all use
+        stop-gradient'd pred_vs at proj_cam) skip re-sorting. Only valid
+        across renderers with identical image_size/AA/tile/sigma/dist_eps/
+        mf_cap/max_cover settings."""
+        from ..ops.raster_kernel import compute_raster_bins
+
+        fv = self.project_faces(vertices, faces, cams)
+        render_size = self.image_size * (2 if self.anti_aliasing else 1)
+        return compute_raster_bins(
+            fv, render_size, self.tile_size, self.sigma_val, self.dist_eps,
+            self.pallas_mf_cap, self.max_cover,
+        )
+
     def __call__(self, vertices, faces, cams, textures=None,
                  need_p2f=False, mask_only=False, rgb_geom_detach=False,
-                 tex_grads=True):
+                 tex_grads=True, bins=None):
         return self.render(vertices, faces, cams, textures, need_p2f,
-                           mask_only, rgb_geom_detach, tex_grads)
+                           mask_only, rgb_geom_detach, tex_grads, bins)
 
     def uses_pallas(self, textures_channels=3, textures_t2=36):
         import jax as _jax
@@ -140,7 +167,8 @@ class SoftRenderer:
 
     def render(self, vertices, faces, cams, textures=None,
                need_p2f=False, mask_only=False,
-               rgb_geom_detach=False, tex_grads=True) -> RasterOut:
+               rgb_geom_detach=False, tex_grads=True,
+               bins=None) -> RasterOut:
         """vertices: [B,V,3]; faces: [F,3] or [B,F,3]; cams: [B,7];
         textures: [B,F,T2,3] or None. Returns RasterOut with
         rgba [B,H,W,4] at image_size (after 2x supersampled AA if enabled).
@@ -230,6 +258,7 @@ class SoftRenderer:
                 mask_only=mask_only,
                 rgb_geom_detach=rgb_geom_detach,
                 tex_grads=tex_grads,
+                bins=bins,
             )
         elif use_binned:
             from ..ops.rasterize_binned import soft_rasterize_binned

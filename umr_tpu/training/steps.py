@@ -52,6 +52,42 @@ from ..renderer import SoftRenderer
 stop = jax.lax.stop_gradient
 
 
+def maybe_overlay_resnet18(state: "TrainState") -> "TrainState":
+    """Land converted torchvision resnet18 weights on the encoder trunk.
+
+    The reference encoder is ImageNet-pretrained (ref: nnutils/cub_mesh.py:56
+    ResNetConv(n_blocks=4) with pretrained=True) — load-bearing for UMR's
+    self-supervised convergence. Looks for the npz pair written by
+    tools/convert_torch_weights.py (override with UMR_TPU_RESNET_WEIGHTS);
+    silently returns the state unchanged when absent so synthetic-data tests
+    and environments without the weights keep working.
+    """
+    import os
+
+    path = os.environ.get(
+        "UMR_TPU_RESNET_WEIGHTS", "weights/resnet18_params.npz"
+    )
+    if not os.path.exists(path):
+        return state
+
+    from ..models.weight_io import load_resnet18_pretrained, overlay_tree
+
+    pre_params, pre_stats = load_resnet18_pretrained(path)
+    model_p = dict(state.params["model"])
+    model_p["encoder"] = overlay_tree(
+        model_p["encoder"], {"resnet": pre_params}, "encoder/"
+    )
+    new_params = {**state.params, "model": model_p}
+    new_bs = state.batch_stats
+    if pre_stats is not None and state.batch_stats.get("model"):
+        model_s = dict(state.batch_stats["model"])
+        model_s["encoder"] = overlay_tree(
+            model_s["encoder"], {"resnet": pre_stats}, "encoder/"
+        )
+        new_bs = {**state.batch_stats, "model": model_s}
+    return state.replace(params=new_params, batch_stats=new_bs)
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any                # {'model': ..., 'disc': ... (optional)}
@@ -62,16 +98,33 @@ class TrainState(struct.PyTreeNode):
     lpips: Any = None          # frozen LPIPS params (not optimized)
 
 
-def lr_schedule(base_lr):
+def lr_schedule(base_lr, step_scale: int = 1):
+    """lr = base/(1 + 5e-4 * iter) (ref: train_utils.py:189-194).
+
+    step_scale: with gradient accumulation the inner optimizer's count
+    advances once per optim_bs iterations, but the reference decays by the
+    raw iteration counter every batch regardless of optim_bs — scale the
+    count back to iterations so the decay matches."""
     def fn(step):
-        return base_lr / (1.0 + 5e-4 * step)
+        return base_lr / (1.0 + 5e-4 * step * step_scale)
     return fn
 
 
 def make_optimizer(cfg: Config):
+    sched = lr_schedule(cfg.learning_rate, max(cfg.optim_bs, 1))
     if cfg.use_sgd:
-        return optax.sgd(lr_schedule(cfg.learning_rate), momentum=cfg.beta1)
-    return optax.adam(lr_schedule(cfg.learning_rate), b1=cfg.beta1, b2=0.999)
+        tx = optax.sgd(sched, momentum=cfg.beta1)
+    else:
+        tx = optax.adam(sched, b1=cfg.beta1, b2=0.999)
+    if cfg.optim_bs > 1:
+        # The reference steps the optimizer every optim_bs iterations
+        # (ref: train_s2.py:439-440) but calls zero_grad every iteration
+        # (ref: train_s2.py:432), so it silently DISCARDS all but the last
+        # batch's gradients. We implement what the flag's docstring
+        # promises — true accumulation (mean of optim_bs batch grads) —
+        # a documented deviation, see PARITY.md.
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.optim_bs)
+    return tx
 
 
 def _renderers(cfg: Config):
@@ -111,6 +164,10 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
     part_vert_idx: list of 4 template-vertex index arrays (head, belly,
     neck, back) from the avg_uv semantic template.
     """
+    # cfg.bf16: convs (encoder trunk, texture decoder, LPIPS) compute in
+    # bfloat16 on the MXU; params, BatchNorm, heads, losses and the
+    # rasterizer stay f32
+    cdt = jnp.bfloat16 if cfg.bf16 else None
     model = MeshNet(
         template=template,
         nz_feat=cfg.nz_feat,
@@ -120,13 +177,24 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
         use_texture=cfg.use_texture,
         pred_cam=cfg.pred_cam,
         multiple_cam_hypo=cfg.multiple_cam_hypo,
+        scale_lr_decay=cfg.scale_lr_decay,
+        scale_bias=cfg.scale_bias,
+        compute_dtype=cdt,
     )
     disc = Discriminator(lambda_=cfg.grl_wt, in_dim=3, img_size=cfg.image_size)
-    lpips = LPIPSAlex()
+    lpips = LPIPSAlex(dtype=cdt)
     renderer, tex_renderer, hard_renderer = _renderers(cfg)
     dis_renderer = tex_renderer  # ambient-only (ref: train_s2.py:105-106)
     faces = jnp.asarray(template.faces)
     tx = make_optimizer(cfg)
+    # bins computed by hard_renderer are valid for the part renderer only
+    # when every binning-relevant setting matches
+    pr = part_loss.renderer
+    part_bins_ok = all(
+        getattr(pr, f) == getattr(hard_renderer, f)
+        for f in ("image_size", "anti_aliasing", "tile_size", "sigma_val",
+                  "dist_eps", "pallas_mf_cap", "max_cover")
+    )
 
     def init_fn(rng, lpips_params=None, sample_batch=None):
         H = cfg.image_size
@@ -147,7 +215,7 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
             opt_state=tx.init(params),
             lpips=lpips_params,
         )
-        return state
+        return maybe_overlay_resnet18(state)
 
     def forward_model(params, batch_stats, buffers, template_c, img, rng,
                       train):
@@ -187,6 +255,16 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
         sc = {}
         sc["cam_div_loss"] = cam_diversity_loss(cam_probs)
         K = cams_all.shape[1]
+
+        # the hard visibility pass and the semantic part renders all draw
+        # the same geometry at proj_cam — bin the faces into tiles ONCE
+        # and share (Pallas path only; the XLA paths ignore bins)
+        main_bins = None
+        if hard_renderer.uses_pallas(
+                textures_t2=cfg.tex_size * cfg.tex_size):
+            main_bins = hard_renderer.compute_bins(
+                stop(pred_vs), faces, stop(proj_cam)
+            )
 
         tex = None
         if cfg.use_texture:
@@ -244,7 +322,7 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
             ).sum(1).mean()
             dt_loss = texture_dt_loss(tex_flow, batch["dts_barrier"])
             hard_out = hard_renderer.render(
-                stop(pred_vs), faces, proj_cam
+                stop(pred_vs), faces, proj_cam, bins=main_bins
             )
             face_ids = hard_out.aggr[:, 1].reshape(B, -1)
             cycle, _ = tex_cycle_loss(
@@ -278,8 +356,11 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
 
         # semantic correspondence
         part_segs = normalize_part_segs(batch["part_prob"], masks)
-        p_loss, _projs = part_loss(pred_vs, faces, proj_cam, part_segs)
-        sc["part_loss"] = p_loss * cfg.prob_loss_wt
+        p_loss, _projs = part_loss(
+            pred_vs, faces, proj_cam, part_segs,
+            bins=main_bins if part_bins_ok else None,
+        )
+        sc["part_loss"] = p_loss  # unweighted, like every other scalar
         total = total + p_loss * cfg.prob_loss_wt
 
         K = cfg.num_hypo_cams
@@ -333,13 +414,15 @@ def build_s1_step(cfg: Config, template):
     (< stop_ori_epoch) and the deform reg (> update_template_freq), as in
     the reference (ref: train_s1.py:249-255).
     """
+    cdt = jnp.bfloat16 if cfg.bf16 else None
     model = MeshNetS1(
         template=template, nz_feat=cfg.nz_feat, z_dim=cfg.z_dim,
         use_texture=cfg.use_texture, pred_cam=cfg.pred_cam,
+        compute_dtype=cdt,
     )
     disc = Discriminator(lambda_=cfg.grl_wt, in_dim=1,
                          img_size=cfg.image_size)
-    lpips = LPIPSAlex()
+    lpips = LPIPSAlex(dtype=cdt)
     renderer, tex_renderer, hard_renderer = _renderers(cfg)
     faces = jnp.asarray(template.faces)
     tx = make_optimizer(cfg)
@@ -354,7 +437,7 @@ def build_s1_step(cfg: Config, template):
         if lpips_params is None:
             lpips_params = lpips.init(k4, img, img)["params"]
         params = {"model": mv["params"], "disc": dv["params"]}
-        return TrainState(
+        return maybe_overlay_resnet18(TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats={"model": mv.get("batch_stats", {})},
@@ -362,7 +445,7 @@ def build_s1_step(cfg: Config, template):
             template=mv["template"],
             opt_state=tx.init(params),
             lpips=lpips_params,
-        )
+        ))
 
     def loss_fn(params, state: TrainState, batch, rng, epoch, train=True):
         k_sample, k_gan = jax.random.split(rng)

@@ -62,9 +62,38 @@ class Trainer:
         self.save_dir = os.path.join(cfg.checkpoint_dir, cfg.name)
         os.makedirs(self.save_dir, exist_ok=True)
         self._dump_opts()
+        self._maybe_auto_resume()
         self.mesh = make_mesh() if cfg.data_parallel else None
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
+        # GAN "real" images lag one batch behind, like the reference's
+        # random_imgs buffer (initialized from the first batch, then
+        # refreshed at the END of each forward — ref: train_s2.py:183-184,
+        # 270). None until the first batch arrives.
+        self._lagged_real = None
+
+    def _maybe_auto_resume(self):
+        """Restore the latest Orbax training state when one exists.
+
+        Gives preemption recovery the reference lacks: step count, params,
+        optimizer state and template all come back. The .pth import path
+        (UMR_TPU_RESUME, handled by the entry points before Trainer
+        construction) is an explicit override — when set, the Orbax state
+        is ignored. Disable entirely with UMR_TPU_NO_AUTORESUME=1."""
+        if os.environ.get("UMR_TPU_NO_AUTORESUME") or \
+                os.environ.get("UMR_TPU_RESUME"):
+            return
+        path = os.path.join(self.save_dir, "pred_state")
+        if not os.path.isdir(path):
+            return
+        try:
+            self.state = checkpoints.restore_state(
+                self.save_dir, "pred", self.state
+            )
+            step = int(jax.device_get(self.state.step))
+            print(green(f"Auto-resumed from {path} at step {step}."))
+        except Exception as e:  # structure drift: start fresh, loudly
+            print(f"Auto-resume from {path} failed ({e}); starting fresh.")
 
     def _dump_opts(self):
         with open(os.path.join(self.save_dir, "opts.log"), "w") as f:
@@ -83,7 +112,7 @@ class Trainer:
         cfg = self.cfg
         visualizer = Visualizer(cfg)
         rng = jax.random.key(cfg.seed)
-        total_steps = 0
+        total_steps = int(jax.device_get(self.state.step))  # 0 or resumed
         smoothed = 0.0
         iter_time = 0.0
 
@@ -92,6 +121,14 @@ class Trainer:
             for batch in self.dataloader:
                 rng, step_key = jax.random.split(rng)
                 db = prepare_batch(batch, cfg.use_scops, cfg.use_texture)
+                # one-batch-lag GAN reals (ref: train_s2.py:183-184,270);
+                # the lag only applies while batch shapes are stable (a
+                # trailing partial batch would retrigger compilation)
+                cur_real = db["real_imgs"]
+                if (self._lagged_real is not None
+                        and self._lagged_real.shape == cur_real.shape):
+                    db["real_imgs"] = self._lagged_real
+                self._lagged_real = cur_real
                 if self.mesh is not None:
                     db = shard_batch(db, self.mesh)
                 else:

@@ -149,3 +149,87 @@ def colorize(gray, n=5):
         out[gray == label] = cmap[label]
     out[gray == 255] = 255
     return out
+
+
+# 16-entry keypoint color table (ref: experiments/test_kp.py:52-68, RGB)
+KP_COLOR_TABLE = np.array([
+    [0, 255, 0], [0, 0, 255], [0, 255, 255], [255, 0, 0],
+    [255, 0, 255], [255, 255, 0], [0, 0, 255], [0, 128, 255],
+    [128, 0, 255], [0, 128, 0], [128, 0, 0], [0, 0, 128],
+    [128, 128, 0], [0, 128, 128], [128, 0, 128], [128, 128, 128],
+], np.uint8)
+
+
+def draw_kp_circles(img, kps_px, visible=None, radius=5, colors=None):
+    """Filled keypoint markers on a uint8 image (numpy stand-in for the
+    reference's cv2.circle overlay, ref: test_kp.py:285-297).
+
+    img: [H,W,3] uint8 (modified copy returned); kps_px: [K,2] pixel xy.
+    """
+    out = np.array(img, np.uint8, copy=True)
+    H, W = out.shape[:2]
+    colors = KP_COLOR_TABLE if colors is None else colors
+    yy, xx = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    disk = (xx ** 2 + yy ** 2) <= radius ** 2
+    for i, (x, y) in enumerate(np.asarray(kps_px)[:, :2]):
+        if visible is not None and not visible[i]:
+            continue
+        cx, cy = int(x), int(y)
+        if not (0 <= cx < W and 0 <= cy < H):
+            continue
+        y0, y1 = max(cy - radius, 0), min(cy + radius + 1, H)
+        x0, x1 = max(cx - radius, 0), min(cx + radius + 1, W)
+        d = disk[y0 - (cy - radius):y1 - (cy - radius),
+                 x0 - (cx - radius):x1 - (cx - radius)]
+        out[y0:y1, x0:x1][d] = colors[i % len(colors)]
+    return out
+
+
+def _middlebury_wheel():
+    """55-entry Middlebury flow color wheel (segment sizes RY=15, YG=6,
+    GC=4, CB=11, BM=13, MR=6 — the standard code the reference vendors,
+    ref: utils/image.py:378-425)."""
+    segs = [(15, 0, 1), (6, 1, 0), (4, 1, 2), (11, 2, 1), (13, 2, 0),
+            (6, 0, 2)]
+    rows = []
+    for i, (n, hold, ramp) in enumerate(segs):
+        w = np.zeros((n, 3))
+        w[:, hold] = 255
+        r = np.floor(255 * np.arange(n) / n)
+        # even segments ramp the moving channel up, odd segments down
+        w[:, ramp] = r if i % 2 == 0 else 255 - r
+        rows.append(w)
+    return np.concatenate(rows)
+
+
+def flow_to_rgb(flow, max_rad=None):
+    """Flow [H,W,2] -> (rgb float32 [H,W,3] in [0,1], max radius), in
+    Middlebury color code (vectorized port of the reference's
+    flow_to_rgb/compute_color, ref: utils/image.py:290-376)."""
+    u = np.array(flow[:, :, 0], float, copy=True)
+    v = np.array(flow[:, :, 1], float, copy=True)
+    unknown = (np.abs(u) > 1e7) | (np.abs(v) > 1e7) | np.isnan(u) \
+        | np.isnan(v)
+    u[unknown] = 0
+    v[unknown] = 0
+
+    rad = np.sqrt(u ** 2 + v ** 2)
+    maxrad = max(-1.0, rad.max()) if max_rad is None else max_rad
+    u = u / (maxrad + np.finfo(float).eps)
+    v = v / (maxrad + np.finfo(float).eps)
+    rad = np.sqrt(u ** 2 + v ** 2)
+
+    wheel = _middlebury_wheel()
+    ncols = wheel.shape[0]
+    a = np.arctan2(-v, -u) / np.pi               # [-1, 1]
+    fk = (a + 1) / 2 * (ncols - 1) + 1
+    k0 = np.floor(fk).astype(int)
+    k1 = np.where(k0 + 1 == ncols + 1, 1, k0 + 1)
+    f = (fk - k0)[..., None]
+    col = (1 - f) * wheel[k0 - 1] / 255 + f * wheel[k1 - 1] / 255
+
+    inside = (rad <= 1)[..., None]
+    col = np.where(inside, 1 - rad[..., None] * (1 - col), col * 0.75)
+    img = np.floor(255 * col)
+    img[unknown] = 0
+    return (img / 255.0).astype(np.float32), float(maxrad)
