@@ -77,6 +77,10 @@ def bench_train_s2(jax, jnp):
     cfg = Config(
         image_size=IMAGE_SIZE, img_size=IMAGE_SIZE, batch_size=BATCH,
         num_hypo_cams=8, anti_aliasing=True, subdivide=3, tex_size=6,
+        # UMR_TPU_BENCH_BF16=1: measure the bf16 mixed-precision compute
+        # path (conv stacks on the MXU in bf16; default f32 matches the
+        # reference numerics)
+        bf16=bool(int(os.environ.get("UMR_TPU_BENCH_BF16", "0"))),
     )
     template = build_template(cfg.subdivide, cfg.axis, cfg.tex_size)
     rng = np.random.RandomState(0)

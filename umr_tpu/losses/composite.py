@@ -254,20 +254,18 @@ class PartMatchingLoss:
             part_tex=part_tex, renderer=renderer, num_parts=num_parts
         )
 
-    def __call__(self, verts, faces, cams, part_segs, cam_probs=None,
-                 avg=True, bins=None):
-        """part_segs: [B, num_parts+1, H, W] normalized SCOPS part maps.
-        bins: optional shared face->tile binning (the part renders use the
-        same projected geometry as the hard visibility pass).
-        Returns (total_loss, projs [B,num_parts,H,W])."""
-        B = verts.shape[0]
+    def texture_groups(self, B):
+        """One-hot part textures in renderable 3-channel groups.
+
+        The part channels share the same softmax aggregation weights, so
+        rendering them 3 at a time (the kernel's channel count) is exact;
+        callers can also CONCATENATE these groups with other ambient
+        renders of the same geometry (e.g. the GAN unseen view) into one
+        fused kernel pass. Returns a list of [B, F, T2, 3] arrays."""
         tex_all = jnp.broadcast_to(
             jnp.asarray(self.part_tex)[None], (B,) + self.part_tex.shape
         )
-        # render part channels in groups of 3 so the Pallas kernel path
-        # (3-channel) applies; channels share aggregation weights so the
-        # split is exact
-        chans = []
+        groups = []
         for c0 in range(0, self.num_parts, 3):
             sub = tex_all[..., c0:c0 + 3]
             pad = 3 - sub.shape[-1]
@@ -276,12 +274,37 @@ class PartMatchingLoss:
                     [sub, jnp.zeros(sub.shape[:-1] + (pad,), sub.dtype)],
                     axis=-1,
                 )
+            groups.append(sub)
+        return groups
+
+    def projs_from_group_renders(self, rgb_groups):
+        """Rendered group rgb images [B,H,W,3] each -> projs
+        [B,num_parts,H,W] (drops the zero-padded channels)."""
+        chans = []
+        for i, rgb in enumerate(rgb_groups):
+            chans.append(rgb[..., : min(3, self.num_parts - i * 3)])
+        return jnp.concatenate(chans, axis=-1).transpose(0, 3, 1, 2)
+
+    def __call__(self, verts, faces, cams, part_segs, cam_probs=None,
+                 avg=True, bins=None):
+        """part_segs: [B, num_parts+1, H, W] normalized SCOPS part maps.
+        bins: optional shared face->tile binning (the part renders use the
+        same projected geometry as the hard visibility pass).
+        Returns (total_loss, projs [B,num_parts,H,W])."""
+        B = verts.shape[0]
+        rgb_groups = [
             # part textures are constants: skip texture grads in the bwd
-            out = self.renderer.render(verts, faces, cams, stop(sub),
-                                       tex_grads=False, bins=bins)
-            chans.append(out.rgba[..., : min(3, self.num_parts - c0)])
-        projs = jnp.concatenate(chans, axis=-1)  # [B,H,W,P]
-        projs = projs.transpose(0, 3, 1, 2)      # [B,P,H,W]
+            self.renderer.render(verts, faces, cams, stop(sub),
+                                 tex_grads=False, bins=bins).rgba[..., :3]
+            for sub in self.texture_groups(B)
+        ]
+        projs = self.projs_from_group_renders(rgb_groups)
+        return self.loss_from_projs(projs, part_segs, cam_probs, avg)
+
+    def loss_from_projs(self, projs, part_segs, cam_probs=None, avg=True):
+        """Loss from pre-rendered part projections [B,num_parts,H,W]
+        (ref: loss_utils.py:399-440)."""
+        B = projs.shape[0]
         S = projs.shape[-1]
         bg = jnp.full((B, 1, S, S), self.bg_value, projs.dtype)
         proj = jnp.concatenate([stop(bg), projs], axis=1)  # [B,P+1,H,W]

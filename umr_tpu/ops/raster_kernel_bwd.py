@@ -112,16 +112,20 @@ def _bwd_kernel(starts_ref, data_hbm, pix_ref,
             else:
                 # texel colors + per-texel texture grads; one packed
                 # [G, 128] store per group (108 dynamic stores made
-                # Mosaic compilation explode)
+                # Mosaic compilation explode). Under rgb_geom_detach the
+                # rendered colors never feed a gradient (dcol unused), so
+                # the 3 per-texel color accumulators are skipped.
+                need_cols = not cfg.rgb_geom_detach
                 colr = jnp.zeros_like(frag)
                 colg = jnp.zeros_like(frag)
                 colb = jnp.zeros_like(frag)
                 gtex_cols = []
                 for tt in range(cfg.T2):
                     msel = (pm["tex_idx"] == tt).astype(dtype) * rgb_on
-                    colr += msel * texcol(g0, 0, tt)
-                    colg += msel * texcol(g0, 1, tt)
-                    colb += msel * texcol(g0, 2, tt)
+                    if need_cols:
+                        colr += msel * texcol(g0, 0, tt)
+                        colg += msel * texcol(g0, 1, tt)
+                        colb += msel * texcol(g0, 2, tt)
                     if cfg.tex_grads:
                         gtex_cols.append(msel * zp_softmax * zgate)
                 if cfg.tex_grads:

@@ -338,12 +338,57 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
                 + cycle * cfg.tex_cycle_loss_wt
             )
 
+        part_segs = normalize_part_segs(batch["part_prob"], masks)
+        unseen = None
         if cfg.use_gan:
             angles = jax.random.randint(k_gan, (B,), 0, 180)
             random_cams = rotate_cam(proj_cam, angles)
-            unseen = dis_renderer.render(
-                pred_vs, faces, random_cams, stop(tex), tex_grads=False
+
+        # On the Pallas path the semantic part renders and the GAN unseen
+        # view share one kernel pass: all are ambient softmax renders with
+        # live geometry and constant/stopped textures, so they differ only
+        # per-image (cameras + textures) — fold them into one (n_g+1)*B
+        # batch (3 launches + 3 binnings become 1 launch + 1 small
+        # binning; the part images reuse main_bins).
+        merged = (cfg.use_gan and cfg.use_texture
+                  and main_bins is not None)
+        if merged:
+            groups = part_loss.texture_groups(B)
+            n_g = len(groups)
+            gan_bins = dis_renderer.compute_bins(
+                pred_vs, faces, stop(random_cams)
+            )
+            bins_cat = tuple(
+                jnp.concatenate([m] * n_g + [g], axis=0)
+                for m, g in zip(main_bins, gan_bins)
+            )
+            verts_cat = jnp.concatenate([pred_vs] * (n_g + 1), axis=0)
+            cams_cat = jnp.concatenate(
+                [proj_cam] * n_g + [random_cams], axis=0
+            )
+            tex_cat = jnp.concatenate(groups + [stop(tex)], axis=0)
+            rgb = dis_renderer.render(
+                verts_cat, faces, cams_cat, stop(tex_cat),
+                tex_grads=False, bins=bins_cat,
             ).rgba[..., :3]
+            projs = part_loss.projs_from_group_renders(
+                [rgb[i * B:(i + 1) * B] for i in range(n_g)]
+            )
+            unseen = rgb[n_g * B:]
+            p_loss, _projs = part_loss.loss_from_projs(projs, part_segs)
+        else:
+            if cfg.use_gan:
+                unseen = dis_renderer.render(
+                    pred_vs, faces, random_cams, stop(tex),
+                    tex_grads=False,
+                ).rgba[..., :3]
+            # semantic correspondence
+            p_loss, _projs = part_loss(
+                pred_vs, faces, proj_cam, part_segs,
+                bins=main_bins if part_bins_ok else None,
+            )
+
+        if cfg.use_gan:
             real = batch["real_imgs"]
 
             def disc_apply(x):
@@ -353,13 +398,6 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
             sc["gan_loss"] = g_loss
             sc["acc_gan"] = g_acc
             total = total + g_loss * cfg.gan_loss_wt
-
-        # semantic correspondence
-        part_segs = normalize_part_segs(batch["part_prob"], masks)
-        p_loss, _projs = part_loss(
-            pred_vs, faces, proj_cam, part_segs,
-            bins=main_bins if part_bins_ok else None,
-        )
         sc["part_loss"] = p_loss  # unweighted, like every other scalar
         total = total + p_loss * cfg.prob_loss_wt
 
