@@ -229,3 +229,30 @@ def test_pair_dataset_deterministic(fixture_root):
     d2 = CUBTestPairDataset(cfg, filter_key=1)
     assert d1.tuples == d2.tuples  # seeded by dataset size (ref :85-86)
     assert len(d1) == cfg.number_pairs
+
+
+def test_multihost_loader_slices_are_disjoint_and_complete():
+    """process_index/process_count: hosts take interleaved slices of the
+    SAME shuffle — disjoint, equal-length, and their union is the epoch
+    (up to the per-host truncation)."""
+    from umr_tpu.data.loader import DataLoader
+
+    class Ints:
+        def __len__(self):
+            return 23
+
+        def __getitem__(self, i):
+            return {"x": np.array([i])}
+
+    def epoch_indices(pi, pc):
+        dl = DataLoader(Ints(), batch_size=2, shuffle=True, num_workers=1,
+                        drop_last=False, seed=7, process_index=pi,
+                        process_count=pc)
+        return [int(v) for b in dl for v in b["x"][:, 0]]
+
+    parts = [epoch_indices(i, 4) for i in range(4)]
+    assert all(len(p) == 23 // 4 for p in parts)
+    flat = sum(parts, [])
+    assert len(set(flat)) == len(flat)  # disjoint
+    # single host sees everything
+    assert sorted(epoch_indices(0, 1)) == list(range(23))

@@ -239,10 +239,16 @@ class CUBTestPairDataset:
 
 
 def data_loader(opts, shuffle=True, mirror=True):
+    import jax
+
     dset = CUBDataset(opts, mirror=mirror)
     return DataLoader(
         dset, opts.batch_size, shuffle=shuffle,
         num_workers=opts.n_data_workers, drop_last=True, seed=opts.seed,
+        # multi-host: each host loads its interleaved slice of the shared
+        # shuffle (single-host: index 0 of 1, a no-op)
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
     )
 
 

@@ -25,10 +25,20 @@ def collate(samples):
 
 
 class DataLoader:
-    """Iterates dict batches with background worker threads + prefetch."""
+    """Iterates dict batches with background worker threads + prefetch.
+
+    Multi-host: pass process_index/process_count (e.g.
+    jax.process_index()/jax.process_count()) and each host loads only its
+    interleaved slice of every epoch's order — the per-host batch_size
+    should then be global_batch / process_count. All hosts derive the
+    same shuffle from the shared seed, so the union of slices is exactly
+    one epoch (the reference's DataParallel analogue never needed this;
+    it is the standard JAX multi-host data path).
+    """
 
     def __init__(self, dataset, batch_size, shuffle=True, num_workers=4,
-                 drop_last=True, seed=0, prefetch=2):
+                 drop_last=True, seed=0, prefetch=2,
+                 process_index=0, process_count=1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -36,10 +46,12 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
         self._epoch = 0
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.process_count
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -50,11 +62,16 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self._epoch)
             rng.shuffle(order)
+        if self.process_count > 1:
+            # interleaved split of the SHARED shuffle: host i takes
+            # positions i, i+P, i+2P, ... (same length on every host)
+            per = n // self.process_count
+            order = order[self.process_index::self.process_count][:per]
         self._epoch += 1
 
         batches = [
             order[i:i + self.batch_size]
-            for i in range(0, n, self.batch_size)
+            for i in range(0, len(order), self.batch_size)
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
@@ -63,13 +80,19 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idxs in batches:
-                    if stop.is_set():
-                        break
-                    samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(collate(samples))
-            q.put(None)
+            # the end sentinel MUST reach the consumer even if a worker
+            # raises — otherwise the training loop deadlocks on q.get()
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            break
+                        samples = list(
+                            pool.map(self.dataset.__getitem__, idxs)
+                        )
+                        q.put(collate(samples))
+            finally:
+                q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

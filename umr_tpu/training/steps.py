@@ -195,6 +195,17 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
         for f in ("image_size", "anti_aliasing", "tile_size", "sigma_val",
                   "dist_eps", "pallas_mf_cap", "max_cover")
     )
+    # the merged part+GAN render draws the part groups with dis_renderer;
+    # only valid when the configured part renderer is render-equivalent
+    part_render_eq = all(
+        getattr(pr, f) == getattr(dis_renderer, f)
+        for f in ("image_size", "render_type", "background_color",
+                  "sigma_val", "gamma_val", "dist_eps", "anti_aliasing",
+                  "ambient_intensity", "directional_intensity",
+                  "light_direction", "light_color", "eye", "offset_z",
+                  "dist_func", "aggr_func_alpha", "tile_size", "max_cover",
+                  "pallas_mf_cap")
+    )
 
     def init_fn(rng, lpips_params=None, sample_batch=None):
         H = cfg.image_size
@@ -351,7 +362,7 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
         # batch (3 launches + 3 binnings become 1 launch + 1 small
         # binning; the part images reuse main_bins).
         merged = (cfg.use_gan and cfg.use_texture
-                  and main_bins is not None)
+                  and main_bins is not None and part_render_eq)
         if merged:
             groups = part_loss.texture_groups(B)
             n_g = len(groups)
