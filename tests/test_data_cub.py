@@ -256,3 +256,34 @@ def test_multihost_loader_slices_are_disjoint_and_complete():
     assert len(set(flat)) == len(flat)  # disjoint
     # single host sees everything
     assert sorted(epoch_indices(0, 1)) == list(range(23))
+
+
+def test_loader_propagates_worker_exception():
+    """A crashing dataset item must RAISE in the training loop, not end
+    the epoch silently (and must not deadlock the consumer)."""
+    from umr_tpu.data.loader import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("corrupt sample")
+            return {"x": np.array([i])}
+
+    dl = DataLoader(Bad(), batch_size=2, shuffle=False, num_workers=2,
+                    drop_last=False, seed=0)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        for _ in dl:
+            pass
+
+
+def test_eval_loader_not_process_sharded(fixture_root, monkeypatch):
+    """Evaluation loads the FULL split on every host (process_shard
+    defaults off when shuffle=False)."""
+    import umr_tpu.data.cub as cub_mod
+
+    cfg = _cfg(fixture_root)
+    dl_eval = cub_mod.data_loader(cfg, shuffle=False, mirror=False)
+    assert dl_eval.process_count == 1

@@ -253,3 +253,37 @@ def test_bf16_step_runs_and_matches_structure(rng):
     assert all(
         x.dtype == jnp.float32 for x in jax.tree.leaves(state1.params)
     )
+
+
+def test_resume_past_num_iter_does_not_retrain(tmp_path, monkeypatch):
+    """A run auto-resumed at/past num_iter must exit immediately instead
+    of training through num_epochs and overwriting the finished
+    checkpoint."""
+    monkeypatch.delenv("UMR_TPU_RESUME", raising=False)
+    monkeypatch.delenv("UMR_TPU_NO_AUTORESUME", raising=False)
+    cfg = _trainer_cfg(tmp_path, num_iter=2)
+    batches = [_tiny_batch(0.5)] * 4
+
+    t1 = Trainer(cfg, _fake_step(), _tiny_state(), batches)
+    s1 = t1.train()
+    assert int(s1.step) == 2
+
+    # relaunch (e.g. after preemption): resumes at step 2 == num_iter
+    seen = []
+    t2 = Trainer(cfg, _fake_step(seen), _tiny_state(), batches)
+    s2 = t2.train()
+    assert int(jax.device_get(s2.step)) == 2
+    assert seen == []  # no extra steps ran
+
+
+def test_resnet18_stats_path_from_basename(tmp_path):
+    """'params' elsewhere in the path must not redirect the stats
+    lookup."""
+    from umr_tpu.models.weight_io import load_resnet18_pretrained
+
+    d = tmp_path / "params"           # directory containing 'params'
+    d.mkdir()
+    save_npz(str(d / "resnet18_params.npz"), {"a": np.ones(2)})
+    save_npz(str(d / "resnet18_stats.npz"), {"b": np.zeros(3)})
+    params, stats = load_resnet18_pretrained(str(d / "resnet18_params.npz"))
+    assert stats is not None and "b" in stats

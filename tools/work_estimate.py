@@ -47,7 +47,7 @@ def main():
     cfg = rk._make_cfg(S, (0, 0, 0), 1.0, 100.0, 1e-3, 1e-5, 1e-10, 1e-4,
                        False, ts, 36, 256)
     t0 = time.perf_counter()
-    planes, al_fids, astarts, entry_data, E_al, E_pad = rk._prepare(
+    al_fids, astarts, entry_data, E_al, E_pad = rk._prepare(
         fvs, jnp.zeros((BK, F, 36, 3), jnp.float32), cfg, 4)
     jax.block_until_ready(astarts)
     print(f"prepare+sort wall (cold): {time.perf_counter() - t0:.3f}s")

@@ -238,17 +238,24 @@ class CUBTestPairDataset:
         return self.sdset[i1 if self.filter_key == 1 else i2]
 
 
-def data_loader(opts, shuffle=True, mirror=True):
-    import jax
-
+def data_loader(opts, shuffle=True, mirror=True, process_shard=None):
+    """process_shard: multi-host interleaved sharding of each epoch.
+    Defaults to ON for training iteration (shuffle=True) and OFF for
+    evaluation passes (shuffle=False) — eval metrics must cover the FULL
+    dataset on every host, not a per-host slice."""
     dset = CUBDataset(opts, mirror=mirror)
+    if process_shard is None:
+        process_shard = shuffle
+    if process_shard:
+        import jax
+
+        pi, pc = jax.process_index(), jax.process_count()
+    else:
+        pi, pc = 0, 1
     return DataLoader(
         dset, opts.batch_size, shuffle=shuffle,
         num_workers=opts.n_data_workers, drop_last=True, seed=opts.seed,
-        # multi-host: each host loads its interleaved slice of the shared
-        # shuffle (single-host: index 0 of 1, a no-op)
-        process_index=jax.process_index(),
-        process_count=jax.process_count(),
+        process_index=pi, process_count=pc,
     )
 
 

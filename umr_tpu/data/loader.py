@@ -80,8 +80,10 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            # the end sentinel MUST reach the consumer even if a worker
-            # raises — otherwise the training loop deadlocks on q.get()
+            # a terminal item MUST reach the consumer even if a worker
+            # raises — otherwise the training loop deadlocks on q.get();
+            # exceptions are forwarded and re-raised in the consumer (a
+            # silently truncated epoch would be worse than the crash)
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for idxs in batches:
@@ -91,7 +93,9 @@ class DataLoader:
                             pool.map(self.dataset.__getitem__, idxs)
                         )
                         q.put(collate(samples))
-            finally:
+            except BaseException as e:  # noqa: BLE001 — forwarded
+                q.put(e)
+            else:
                 q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
@@ -101,6 +105,8 @@ class DataLoader:
                 b = q.get()
                 if b is None:
                     break
+                if isinstance(b, BaseException):
+                    raise b
                 yield b
         finally:
             stop.set()

@@ -131,7 +131,10 @@ def load_resnet18_pretrained(params_path):
     import os
 
     params = load_npz(params_path)
-    stats_path = params_path.replace("params", "stats")
+    # derive the stats filename from the BASENAME only — a 'params'
+    # substring elsewhere in the path must not redirect the lookup
+    head, base = os.path.split(params_path)
+    stats_path = os.path.join(head, base.replace("params", "stats"))
     stats = (
         load_npz(stats_path)
         if stats_path != params_path and os.path.exists(stats_path)

@@ -569,12 +569,13 @@ def soft_rasterize_pallas(
             textures.shape[2], int(mf_cap),
         )
         bins = _compute_bins(face_vertices, cfg, int(max_cover), entry_cap)
-    # bins ride through the custom_vjp as float32 (values < 2^24, exactly
-    # representable) so their cotangent is an ordinary zero array
-    dt = face_vertices.dtype
+    # bins ride through the custom_vjp as float32 — explicitly, NOT the
+    # face dtype (values < 2^24 are exact in f32; a bf16 cast would round
+    # face ids/offsets above 256 and silently corrupt the entry layout) —
+    # so their cotangent is an ordinary zero array
     return _pallas_raster_vjp(
         face_vertices, textures,
-        bins[0].astype(dt), bins[1].astype(dt), *statics
+        bins[0].astype(jnp.float32), bins[1].astype(jnp.float32), *statics
     )
 
 
@@ -632,9 +633,10 @@ def _compute_bins(face_vertices, cfg: _Cfg, max_cover, entry_cap=None):
     covering t — the exclusive cumsum over faces of the dense [F, T]
     cover matrix. This replaces the per-image argsort of F*max_cover^2
     keys (a multi-pass bitonic sort on TPU, formerly the dominant
-    prepare cost) with one scatter + one 1.3 MB cumsum, and produces the
-    EXACT layout the stable sort produced (tile-major, face order within
-    a tile).
+    prepare cost) with a compare-reduce + a 1.3 MB cumsum + one einsum
+    readback + a single unique-index scatter, and produces the EXACT
+    layout the stable sort produced (tile-major, face order within a
+    tile).
     """
     face_vertices = jax.lax.stop_gradient(face_vertices)
     B, F = face_vertices.shape[:2]
@@ -644,30 +646,12 @@ def _compute_bins(face_vertices, cfg: _Cfg, max_cover, entry_cap=None):
                                entry_cap)
     margin = cfg.thr_margin
 
-    def bin_one(fv):
-        face_x = fv[:, :, 0]
-        face_y = fv[:, :, 1]
-        # tile cover ranges (identical math to rasterize_binned's
-        # _bin_faces_one)
-        col_min = (face_x.min(-1) - margin) * S / 2 + (S - 1) / 2
-        col_max = (face_x.max(-1) + margin) * S / 2 + (S - 1) / 2
-        row_min = ((S - 1) - (face_y.max(-1) + margin) * S) / 2
-        row_max = ((S - 1) - (face_y.min(-1) - margin) * S) / 2
-        tx0 = jnp.clip(jnp.floor(col_min / ts), 0, TX - 1).astype(jnp.int32)
-        tx1 = jnp.clip(jnp.floor(col_max / ts), 0, TX - 1).astype(jnp.int32)
-        ty0 = jnp.clip(jnp.floor(row_min / ts), 0, TX - 1).astype(jnp.int32)
-        ty1 = jnp.clip(jnp.floor(row_max / ts), 0, TX - 1).astype(jnp.int32)
-        offscreen = ((col_max < 0) | (col_min > S - 1)
-                     | (row_max < 0) | (row_min > S - 1))
+    from .rasterize_binned import _face_tile_cover
 
-        dx = jnp.arange(max_cover, dtype=jnp.int32)
-        txs = tx0[:, None] + dx[None, :]                 # [F, C]
-        tys = ty0[:, None] + dx[None, :]
-        ok_x = (txs <= tx1[:, None]) & (txs < TX)
-        ok_y = (tys <= ty1[:, None]) & (tys < TX)
-        tile = tys[:, :, None] * TX + txs[:, None, :]    # [F, C, C]
-        ok = ok_y[:, :, None] & ok_x[:, None, :] \
-            & (~offscreen)[:, None, None]
+    def bin_one(fv):
+        tile, ok = _face_tile_cover(
+            fv[:, :, 0], fv[:, :, 1], S, ts, margin, max_cover
+        )
 
         # dense cover matrix + per-tile face rank via cumsum over faces.
         # cov is built with a compare-reduce and the rank read back with

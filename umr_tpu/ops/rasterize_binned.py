@@ -37,14 +37,14 @@ import numpy as np
 from .rasterize import RasterOut, _NEG_INF
 
 
-def _bin_faces_one(face_x, face_y, face_valid, S, ts, margin, max_cover):
-    """Bin one image's faces into tiles.
+def _face_tile_cover(face_x, face_y, S, ts, margin, max_cover):
+    """Tiles covered by each face's margin-expanded bbox.
 
-    face_x/face_y: [F, 3]; returns (sorted_fids [E], starts [n_tiles+1]).
-    """
-    F = face_x.shape[0]
+    face_x/face_y: [F, 3] NDC coords. Returns (tile [F,C,C] int ids,
+    ok [F,C,C] cover mask). Shared by the XLA binned rasterizer's sort
+    path and the Pallas kernel's sort-free binning — the two MUST agree
+    (tests/test_bins.py pins it)."""
     TX = S // ts
-    n_tiles = TX * TX
 
     col_min = (face_x.min(-1) - margin) * S / 2 + (S - 1) / 2
     col_max = (face_x.max(-1) + margin) * S / 2 + (S - 1) / 2
@@ -67,8 +67,22 @@ def _bin_faces_one(face_x, face_y, face_valid, S, ts, margin, max_cover):
     tile = tys[:, :, None] * TX + txs[:, None, :]        # [F, C, C]
     ok = (
         ok_y[:, :, None] & ok_x[:, None, :]
-        & face_valid[:, None, None] & (~offscreen)[:, None, None]
+        & (~offscreen)[:, None, None]
     )
+    return tile, ok
+
+
+def _bin_faces_one(face_x, face_y, face_valid, S, ts, margin, max_cover):
+    """Bin one image's faces into tiles.
+
+    face_x/face_y: [F, 3]; returns (sorted_fids [E], starts [n_tiles+1]).
+    """
+    F = face_x.shape[0]
+    TX = S // ts
+    n_tiles = TX * TX
+
+    tile, ok = _face_tile_cover(face_x, face_y, S, ts, margin, max_cover)
+    ok = ok & face_valid[:, None, None]
     keys = jnp.where(ok, tile, n_tiles).reshape(-1)      # [E]
     fids = jnp.broadcast_to(
         jnp.arange(F, dtype=jnp.int32)[:, None, None], tile.shape

@@ -190,21 +190,26 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
     # bins computed by hard_renderer are valid for the part renderer only
     # when every binning-relevant setting matches
     pr = part_loss.renderer
+    _BIN_FIELDS = ("image_size", "anti_aliasing", "tile_size", "sigma_val",
+                   "dist_eps", "pallas_mf_cap", "max_cover", "eye",
+                   "offset_z")
     part_bins_ok = all(
-        getattr(pr, f) == getattr(hard_renderer, f)
-        for f in ("image_size", "anti_aliasing", "tile_size", "sigma_val",
-                  "dist_eps", "pallas_mf_cap", "max_cover")
+        getattr(pr, f) == getattr(hard_renderer, f) for f in _BIN_FIELDS
     )
-    # the merged part+GAN render draws the part groups with dis_renderer;
-    # only valid when the configured part renderer is render-equivalent
-    part_render_eq = all(
+    # the merged part+GAN render draws the part groups with dis_renderer
+    # using bins computed by hard_renderer; valid only when the part
+    # renderer is render-equivalent to dis_renderer AND all three agree
+    # on every binning-relevant field
+    part_render_eq = part_bins_ok and all(
         getattr(pr, f) == getattr(dis_renderer, f)
-        for f in ("image_size", "render_type", "background_color",
-                  "sigma_val", "gamma_val", "dist_eps", "anti_aliasing",
-                  "ambient_intensity", "directional_intensity",
-                  "light_direction", "light_color", "eye", "offset_z",
-                  "dist_func", "aggr_func_alpha", "tile_size", "max_cover",
-                  "pallas_mf_cap")
+        for f in _BIN_FIELDS + (
+            "render_type", "background_color", "gamma_val",
+            "ambient_intensity", "directional_intensity",
+            "light_direction", "light_color", "dist_func",
+            "aggr_func_alpha")
+    ) and all(
+        getattr(hard_renderer, f) == getattr(dis_renderer, f)
+        for f in _BIN_FIELDS
     )
 
     def init_fn(rng, lpips_params=None, sample_batch=None):

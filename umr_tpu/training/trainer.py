@@ -115,6 +115,15 @@ class Trainer:
         total_steps = int(jax.device_get(self.state.step))  # 0 or resumed
         smoothed = 0.0
         iter_time = 0.0
+        if cfg.num_iter and total_steps >= cfg.num_iter:
+            # auto-resumed at/past the target: the run is already done —
+            # don't train through num_epochs and overwrite the finished
+            # checkpoint
+            print(green(
+                f"Run already complete at step {total_steps} "
+                f"(num_iter={cfg.num_iter}); nothing to do."
+            ))
+            return self.state
 
         for epoch in range(cfg.num_pretrain_epochs, cfg.num_epochs):
             epoch_iter = 0
@@ -168,7 +177,7 @@ class Trainer:
                     ))
                     self.save("latest")
 
-                if total_steps == cfg.num_iter:
+                if cfg.num_iter and total_steps >= cfg.num_iter:
                     self.save("latest")
                     return self.state
 
