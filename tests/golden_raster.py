@@ -21,6 +21,12 @@ def _face_info(face):
     )
     det = (p[2, 0] * (p[0, 1] - p[1, 1]) + p[0, 0] * (p[1, 1] - p[2, 1])
            + p[1, 0] * (p[2, 1] - p[0, 1]))
+    # ONE deliberate deviation from the literal CUDA transcription: the
+    # framework culls projection-degenerate faces (|det| at/below the
+    # clamp) in every implementation — exactly-edge-on faces otherwise
+    # shade with clamp garbage no two backends reproduce identically.
+    # The oracle mirrors the cull so comparisons stay meaningful.
+    nondegen = abs(det) > 1e-10
     det = max(det, 1e-10) if det > 0 else min(det, -1e-10)
     inv = star / det
     sym = p @ p.T + 1.0
@@ -30,7 +36,7 @@ def _face_info(face):
         if np.dot(p[k1] - p[k], p[k2] - p[k]) < 0:
             obt[k] = 1
             break
-    return inv, sym, obt
+    return inv, sym, obt, nondegen
 
 
 def _euclidean(w, face, sym, obt, xp, yp):
@@ -133,7 +139,9 @@ def golden_soft_rasterize(
 
                 for f in range(F):
                     face = faces[b, f]
-                    inv, sym, obt = infos[f]
+                    inv, sym, obt, nondegen = infos[f]
+                    if not nondegen:
+                        continue
                     fx, fy = face[:, 0], face[:, 1]
                     if (xp > fx.max() + np.sqrt(thr) or xp < fx.min() - np.sqrt(thr)
                             or yp > fy.max() + np.sqrt(thr)
@@ -251,7 +259,9 @@ def golden_soft_rasterize_backward(
                 softmax_max = aggrs[b, 1, row, col]
                 for f in range(F):
                     face = faces[b, f]
-                    inv, sym, obt = infos[f]
+                    inv, sym, obt, nondegen = infos[f]
+                    if not nondegen:
+                        continue
                     fx, fy = face[:, 0], face[:, 1]
                     if (xp > fx.max() + np.sqrt(thr)
                             or xp < fx.min() - np.sqrt(thr)

@@ -81,7 +81,8 @@ def kl_divergence(mean, logvar):
 
 def laplacian_loss(verts, laplacian, average=False):
     """verts: [B,V,3]; laplacian: [V,V] -> [B] (ref: SoftRas losses.py:29-36)."""
-    x = jnp.einsum("vw,bwc->bvc", laplacian, verts)
+    x = jnp.einsum("vw,bwc->bvc", laplacian, verts,
+                  precision=jax.lax.Precision.HIGHEST)
     out = (x ** 2).sum(axis=(1, 2))
     return out.mean() if average else out
 
@@ -149,7 +150,8 @@ def chamfer_dist(a, b):
     """
     aa = (a ** 2).sum(2)
     bb = (b ** 2).sum(2)
-    ab = jnp.einsum("bnd,bmd->bnm", a, b)
+    ab = jnp.einsum("bnd,bmd->bnm", a, b,
+                    precision=jax.lax.Precision.HIGHEST)
     P = aa[:, :, None] + bb[:, None, :] - 2 * ab
     return (
         P.min(axis=2),

@@ -136,6 +136,10 @@ def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
     # ...cuda_kernel.cu:222-282)
     det = (x[2] * (y[0] - y[1]) + x[0] * (y[1] - y[2])
            + x[1] * (y[2] - y[0]))
+    # projection-degenerate cull (|det| at/below the reference's clamp):
+    # edge-on faces yield garbage barycentrics no two implementations
+    # reproduce identically — all paths drop them (see rasterize.face_info)
+    nondegen = jnp.abs(det) > 1e-10
     det = jnp.where(det > 0, jnp.maximum(det, 1e-10),
                     jnp.minimum(det, -1e-10))
     rdet = 1.0 / det
@@ -163,7 +167,7 @@ def _pair_math(slab, g0, xp, yp, vmask, cfg: _Cfg):
         (xp > maxx + cfg.thr_margin) | (xp < minx - cfg.thr_margin)
         | (yp > maxy + cfg.thr_margin) | (yp < miny - cfg.thr_margin)
     )
-    valid = (~out_border) & vmask
+    valid = (~out_border) & vmask & nondegen
 
     w0 = inv[0] * xp + inv[1] * yp + inv[2]
     w1 = inv[3] * xp + inv[4] * yp + inv[5]
@@ -688,8 +692,12 @@ def _compute_bins(face_vertices, cfg: _Cfg, max_cover, entry_cap=None):
                  astart[:-1].astype(jnp.float32)[None], inc.shape)],
             axis=-1,
         )                                                # [F, T, 3]
+        # HIGHEST precision: TPU matmuls default to bf16 inputs, which
+        # rounds counts/offsets above 256 and scrambles the entry layout
+        # (f32 multiply-accumulate keeps everything < 2^24 exact)
         got = jnp.einsum(
-            "fct,fts->fcs", oh.astype(jnp.float32), vals
+            "fct,fts->fcs", oh.astype(jnp.float32), vals,
+            precision=jax.lax.Precision.HIGHEST,
         )                                                # [F, C2, 3]
         rank = got[..., 0].astype(jnp.int32) - 1
         allowed_g = got[..., 1].astype(jnp.int32)

@@ -74,9 +74,16 @@ def face_info(face_xy):
         axis=-1,
     ).reshape(p.shape[:-2] + (3, 3))
     det = x2 * (y0 - y1) + x0 * (y1 - y2) + x1 * (y2 - y0)
+    # projection-degenerate faces (|det| at/below the clamp): the
+    # reference clamps and shades with the resulting garbage barycentrics
+    # (exactly edge-on faces produce arbitrary fragments that no two
+    # implementations reproduce identically) — cull them instead, in
+    # EVERY implementation identically. See PARITY.md.
+    nondegen = jnp.abs(det) > 1e-10
     det = jnp.where(det > 0, jnp.maximum(det, 1e-10), jnp.minimum(det, -1e-10))
     inv = star / det[..., None, None]
-    sym = jnp.einsum("...ik,...jk->...ij", p, p) + 1.0
+    sym = jnp.einsum("...ik,...jk->...ij", p, p,
+                     precision=jax.lax.Precision.HIGHEST) + 1.0
 
     def _obt(k):
         k1, k2 = (k + 1) % 3, (k + 2) % 3
@@ -85,7 +92,7 @@ def face_info(face_xy):
         return d < 0
 
     obt = jnp.stack([_obt(0), _obt(1), _obt(2)], axis=-1)
-    return inv, sym, obt
+    return inv, sym, obt, nondegen
 
 
 def euclidean_p2f(w, fx, fy, sym, obt, xp, yp):
@@ -286,7 +293,7 @@ def soft_rasterize(
     fv = face_vertices.reshape(B, n_chunks, Fc, 3, 3).swapaxes(0, 1)
     tex = textures.reshape((B, n_chunks, Fc) + textures.shape[2:]).swapaxes(0, 1)
     fvalid = face_valid.reshape(n_chunks, Fc)
-    inv_all, sym_all, obt_all = face_info(fv[..., :2])
+    inv_all, sym_all, obt_all, nd_all = face_info(fv[..., :2])
 
     bg = jnp.asarray(background_color, dtype=dtype)
     if bg.shape[0] < C:  # pad bg to the texture channel count
@@ -301,7 +308,7 @@ def soft_rasterize(
         gy = jnp.repeat(lin[block_rows], S)         # [P]
 
         def chunk_body(carry, chunk):
-            fvc, invc, symc, obtc, texc, fval = chunk
+            fvc, invc, symc, obtc, texc, fval, ndc = chunk
             (alpha_acc, m, s, c, depth_min, face_idx_min, hard_color,
              base_fid) = carry
             fx = fvc[..., 0]  # [B,Fc,3]
@@ -315,7 +322,7 @@ def soft_rasterize(
                 | (yp[None, None, :] > fy.max(-1)[..., None] + thr_margin)
                 | (yp[None, None, :] < fy.min(-1)[..., None] - thr_margin)
             )  # [B,Fc,P]
-            valid = (~out_border) & fval[None, :, None]
+            valid = (~out_border) & fval[None, :, None] & ndc[..., None]
 
             # barycentric coords [B,Fc,P,3]
             w = (
@@ -439,7 +446,8 @@ def soft_rasterize(
             jnp.int32(0),
         )
         carry, p2f_chunks = jax.lax.scan(
-            body, carry0, (fv, inv_all, sym_all, obt_all, tex, fvalid)
+            body, carry0,
+            (fv, inv_all, sym_all, obt_all, tex, fvalid, nd_all)
         )
         (alpha_acc, m, s, c, depth_min, face_idx_min, hard_color, _) = carry
 

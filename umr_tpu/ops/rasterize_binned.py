@@ -120,6 +120,9 @@ def _face_planes(face_vertices):
     x1, y1 = out["x1"], out["y1"]
     x2, y2 = out["x2"], out["y2"]
     det = x2 * (y0 - y1) + x0 * (y1 - y2) + x1 * (y2 - y0)
+    # projection-degenerate cull, identical across implementations
+    # (see rasterize.face_info / PARITY.md)
+    out["nondegen"] = (jnp.abs(det) > 1e-10).astype(p.dtype)
     det = jnp.where(det > 0, jnp.maximum(det, 1e-10), jnp.minimum(det, -1e-10))
     star = [
         y1 - y2, x2 - x1, x1 * y2 - x2 * y1,
@@ -349,7 +352,8 @@ def soft_rasterize_binned(
                 | (yp > pl("maxy") + thr_margin)
                 | (yp < pl("miny") - thr_margin)
             )
-            valid = (~out_border) & msk[:, :, None]
+            valid = ((~out_border) & msk[:, :, None]
+                     & (pl("nondegen") > 0))
 
             w0 = pl("inv00") * xp + pl("inv01") * yp + pl("inv02")
             w1 = pl("inv10") * xp + pl("inv11") * yp + pl("inv12")
