@@ -79,6 +79,19 @@ class DataLoader:
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item):
+            """put() that aborts when the consumer abandoned the epoch —
+            a plain blocking put on the full prefetch queue would leak
+            this thread (and its pool) forever after an early exit like
+            Trainer's num_iter return."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             # a terminal item MUST reach the consumer even if a worker
             # raises — otherwise the training loop deadlocks on q.get();
@@ -88,15 +101,16 @@ class DataLoader:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for idxs in batches:
                         if stop.is_set():
-                            break
+                            return
                         samples = list(
                             pool.map(self.dataset.__getitem__, idxs)
                         )
-                        q.put(collate(samples))
+                        if not put_or_stop(collate(samples)):
+                            return
             except BaseException as e:  # noqa: BLE001 — forwarded
-                q.put(e)
+                put_or_stop(e)
             else:
-                q.put(None)
+                put_or_stop(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
