@@ -121,7 +121,7 @@ def bench_train_s2(jax, jnp):
         jax.block_until_ready(sc["total_loss"])
         times.append((time.perf_counter() - t0) / iters)
     dt = sorted(times)[1]
-    return BATCH / dt, dt
+    return BATCH / dt, dt, (min(times), max(times))
 
 
 def main():
@@ -129,7 +129,7 @@ def main():
     import jax.numpy as jnp
 
     raster_mpix, raster_dt = bench_rasterizer(jax, jnp)
-    imgs_per_sec, step_dt = bench_train_s2(jax, jnp)
+    imgs_per_sec, step_dt, (dt_min, dt_max) = bench_train_s2(jax, jnp)
 
     result = {
         "metric": "train_s2_images_per_sec_per_chip",
@@ -137,6 +137,13 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / REF_ESTIMATE_IMGS_PER_SEC, 3),
         "train_s2_iter_time_s": round(step_dt, 4),
+        # min/median/max over the 3 measurement rounds: the tunneled chip
+        # shows ~±20% run-to-run variance, so round-over-round deltas must
+        # be judged against this spread (value/iter_time are the median)
+        "train_s2_iter_time_s_min": round(dt_min, 4),
+        "train_s2_iter_time_s_max": round(dt_max, 4),
+        "images_per_sec_min": round(BATCH / dt_max, 3),
+        "images_per_sec_max": round(BATCH / dt_min, 3),
         "rasterizer_mpix_per_sec_fwdbwd": round(raster_mpix, 1),
         "batch_size": BATCH,
         "image_size": IMAGE_SIZE,

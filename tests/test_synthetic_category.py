@@ -1,0 +1,115 @@
+"""Sanity tests for the synthetic-bird capability-proof dataset
+(umr_tpu/data/synthetic_category.py): structure matches the CUB batch
+contract, kps land inside the mask, part maps partition the silhouette."""
+
+import numpy as np
+import pytest
+
+from umr_tpu.data.synthetic_category import (
+    CategoryLoader,
+    PairLoader,
+    base_bird,
+    face_part_labels,
+    farthest_point_sample,
+    generate_dataset,
+)
+from umr_tpu.mesh import build_template
+
+
+@pytest.fixture(scope="module")
+def data():
+    template = build_template(2, 1, 2)
+    return generate_dataset(template, 6, seed=0, image_size=32, batch=4), \
+        template
+
+
+def test_dataset_structure(data):
+    d, template = data
+    n = 6
+    assert d["img"].shape == (n, 32, 32, 3)
+    assert d["mask"].shape == (n, 32, 32)
+    assert d["part_prob"].shape == (n, 32, 32, 5)
+    assert d["dts_barrier"].shape == (n, 32, 32, 1)
+    assert d["kp"].shape == (n, 15, 3)
+    assert d["cam"].shape == (n, 7)
+    assert np.all(d["img"] >= 0) and np.all(d["img"] <= 1)
+    # masks are real silhouettes: nonempty, not full-frame
+    cov = d["mask"].mean(axis=(1, 2))
+    assert np.all(cov > 0.02) and np.all(cov < 0.8), cov
+    # images differ across samples (per-sample tint + shape + cam)
+    assert np.abs(d["img"][0] - d["img"][1]).mean() > 1e-3
+
+
+def test_part_prob_partitions_mask(data):
+    d, _ = data
+    fg = d["part_prob"][..., 1:].sum(-1)
+    # parts live inside the silhouette ...
+    assert (fg * (1 - d["mask"])).mean() < 0.02
+    # ... and cover most of it (one-hot part textures rendered at GT cam)
+    inside = (fg * d["mask"]).sum() / max(d["mask"].sum(), 1.0)
+    assert inside > 0.5, inside
+    # every part visible somewhere in the set
+    for ch in range(1, 5):
+        assert d["part_prob"][..., ch].max() > 0.3, ch
+
+
+def test_kps_project_inside_mask(data):
+    """GT kps are project_points outputs; they must land on/near the
+    rendered silhouette (validates the y-convention reasoning, see
+    module docstring / ref test_kp.py:160-193)."""
+    d, _ = data
+    S = 32
+    hits, tot = 0, 0
+    for i in range(d["img"].shape[0]):
+        kp = d["kp"][i]
+        px = np.clip(((kp[:, 0] + 1) / 2 * S).astype(int), 0, S - 1)
+        py = np.clip(((kp[:, 1] + 1) / 2 * S).astype(int), 0, S - 1)
+        # dilate the mask by 1 px for soft edges
+        m = d["mask"][i] > 0.3
+        m = m | np.roll(m, 1, 0) | np.roll(m, -1, 0) \
+            | np.roll(m, 1, 1) | np.roll(m, -1, 1)
+        hits += int(m[py, px].sum())
+        tot += 15
+    assert hits / tot > 0.9, hits / tot
+
+
+def test_loaders(data):
+    d, _ = data
+    dl = CategoryLoader(d, batch_size=4, seed=0, use_scops=True)
+    assert len(dl) == 1
+    b = next(iter(dl))
+    for k, shape in [("img", (4, 32, 32, 3)), ("mask", (4, 32, 32)),
+                     ("part_prob", (4, 32, 32, 5)),
+                     ("head_points", (4, 10, 2)), ("neck_points", (4, 10, 2)),
+                     ("back_points", (4, 30, 2)),
+                     ("belly_points", (4, 30, 2)),
+                     ("dts_barrier", (4, 32, 32, 1))]:
+        assert b[k].shape == shape, (k, b[k].shape)
+    # epoch shuffles differ
+    b2 = next(iter(dl))
+    assert not np.array_equal(b["img"], b2["img"])
+
+    p1, p2 = PairLoader(d, seed=1, n_pairs=3), PairLoader(d, seed=2,
+                                                          n_pairs=3)
+    assert len(p1) == 3
+    s = next(iter(p1))
+    assert s["img"].shape == (1, 32, 32, 3) and s["kp"].shape == (1, 15, 3)
+    # deterministic: same seed -> same order
+    assert np.array_equal(p1.order, PairLoader(d, seed=1, n_pairs=3).order)
+    assert not np.array_equal(p1.order, p2.order)
+
+
+def test_fps_and_symmetry():
+    template = build_template(2, 1, 2)
+    sphere = template.verts / np.linalg.norm(
+        template.verts, axis=1, keepdims=True
+    )
+    v = base_bird(sphere)
+    # base shape symmetric in y (the template's symmetry axis)
+    flip = v * np.array([1, -1, 1], np.float32)
+    d = ((v[:, None] - flip[None]) ** 2).sum(-1)
+    assert d.min(axis=1).max() < 1e-8
+    idx = farthest_point_sample(v, 15, seed=17)
+    assert len(set(idx.tolist())) == 15
+    lab = face_part_labels(sphere, template.faces)
+    assert set(np.unique(lab)) == {0, 1, 2, 3}

@@ -74,6 +74,40 @@ def test_resnet18_overlay_lands_on_encoder(tmp_path, monkeypatch):
         np.allclose(x, 0.123)
         for x in jax.tree.leaves(state2.params["model"]["encoder"]["resnet"])
     )
+    # provenance: overlaid state records trunk_pretrained=True
+    assert bool(state1.trunk_pretrained)
+
+
+def test_missing_pretrained_weights_warn_and_record(tmp_path, monkeypatch,
+                                                    capsys):
+    """Absent trunk weights must be LOUD (VERDICT r2 weak #4) and leave
+    trunk_pretrained=False provenance in state and exported .pth meta."""
+    import torch
+
+    template = build_template(subdivide=2, axis=1, tex_size=2)
+    _, _, _, init_fn, *_ = build_s1_step(CFG, template)
+    monkeypatch.setenv("UMR_TPU_RESNET_WEIGHTS",
+                       str(tmp_path / "nope.npz"))
+    state = init_fn(jax.random.key(0))
+    out = capsys.readouterr().out
+    assert "RANDOM-INIT" in out and "resnet18" in out
+    assert not bool(state.trunk_pretrained)
+
+    pth = tmp_path / "export.pth"
+    checkpoints.save_pth(
+        str(pth), jax.device_get(state.params["model"]),
+        jax.device_get(state.template),
+        meta={"trunk_pretrained": jax.device_get(state.trunk_pretrained)},
+    )
+    sd = torch.load(str(pth), map_location="cpu", weights_only=True)
+    assert "_meta/trunk_pretrained" in sd
+    assert not bool(sd["_meta/trunk_pretrained"])
+    # load_pth's shape-checked rebuild ignores the meta entry
+    params, _ = checkpoints.load_pth(
+        str(pth), jax.device_get(state.params["model"]),
+        jax.device_get(state.template),
+    )
+    assert "_meta" not in params
 
 
 def test_overlay_tree_shape_mismatch_raises():

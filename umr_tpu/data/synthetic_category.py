@@ -1,0 +1,325 @@
+"""Procedural "synthetic bird" category with ground truth — the dataset
+behind tools/synthetic_parity.py's end-to-end capability proof.
+
+CUB + SCOPS are absent in this environment, so capability (does the
+curriculum actually learn a single-view reconstructor?) is demonstrated on
+a rendered category with known ground truth instead:
+
+  - a smooth, y-symmetric (the template's symmetry axis, ref:
+    nnutils/cub_mesh.py:43 make_symmetric axis=1) "bird" shape — an
+    elongated sphere with head/tail bumps — plus small per-sample
+    symmetric deformations;
+  - a procedural surface texture (attached to canonical sphere coords, so
+    it is consistent across views/samples up to a per-sample tint);
+  - ground-truth part maps: 4 surface regions (head/neck/back/belly)
+    rendered as one-hot textures — exactly the precomputed SCOPS part
+    probabilities the reference consumes (ref: data/base.py:134-138);
+  - ground-truth keypoints: 15 farthest-point-sampled surface vertices
+    projected per view (CUB kps are image positions of bird parts,
+    ref: data/base.py:188-198 — project_points output IS image coords,
+    both y conventions cancel, see test_kp cam mode test_kp.py:160-193);
+  - cameras restricted to side-ish views (azimuth 40-140 deg about the
+    symmetry axis, elevation +-20 deg), like CUB photographs.
+
+Everything renders through the framework's own renderer at the training
+resolution, and samples flow through the SAME batch dict structure as the
+CUB loader, so train_s1/avg_uv/train_s2/test_iou/test_kp run unmodified.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import image as image_utils
+
+# part channels follow the reference SCOPS convention:
+# ch 0 = background, 1 = head, 2 = neck, 3 = back, 4 = belly
+# (ref: data/base.py:163-166 sample channels per part)
+PART_NAMES = ("head", "neck", "back", "belly")
+POINTS_NUM = {"head": 10, "neck": 10, "back": 30, "belly": 30}
+PART_CH = {"head": 1, "neck": 2, "back": 3, "belly": 4}
+
+
+def farthest_point_sample(pts, k, seed=0):
+    """Deterministic FPS over [N,3] points -> k indices."""
+    rng = np.random.RandomState(seed)
+    n = pts.shape[0]
+    sel = [int(rng.randint(n))]
+    d = ((pts - pts[sel[0]]) ** 2).sum(1)
+    for _ in range(k - 1):
+        i = int(d.argmax())
+        sel.append(i)
+        d = np.minimum(d, ((pts - pts[i]) ** 2).sum(1))
+    return np.asarray(sel, np.int64)
+
+
+def base_bird(sphere_verts):
+    """Canonical category shape: unit sphere -> elongated body + head/tail.
+
+    Symmetric in y by construction (all displacement fields depend on y
+    only through |y| / y^2)."""
+    v = sphere_verts
+    x, y, z = v[:, 0], v[:, 1], v[:, 2]
+    out = v * np.array([0.62, 0.55, 1.0], np.float32)
+    # head bump near +z, slightly toward +x ("up")
+    head = np.exp(-((z - 1.0) ** 2 + (x - 0.35) ** 2 + y ** 2) / 0.25)
+    # tail taper/bump near -z
+    tail = np.exp(-((z + 1.0) ** 2 + x ** 2 + y ** 2) / 0.35)
+    r = 1.0 + 0.35 * head + 0.15 * tail
+    return (out * r[:, None]).astype(np.float32)
+
+
+def sample_deform(sphere_verts, rng, n_bumps=3, amp=0.08):
+    """Per-sample smooth symmetric radial deformation field (multiplier)."""
+    v = sphere_verts
+    r = np.ones(v.shape[0], np.float32)
+    for _ in range(n_bumps):
+        c = rng.uniform(-1, 1, size=3).astype(np.float32)
+        c /= max(np.linalg.norm(c), 1e-6)
+        w = rng.uniform(0.15, 0.5)
+        a = rng.uniform(-amp, amp)
+        # symmetric: bump applied at c and its y-mirror
+        for cc in (c, c * np.array([1, -1, 1], np.float32)):
+            d2 = ((v - cc) ** 2).sum(1)
+            r = r + a * np.exp(-d2 / w)
+    return r[:, None]
+
+
+def part_labels(sphere_verts):
+    """[V] int part id 0..3 (head, neck, back, belly) from canonical
+    sphere coords; parts partition the surface."""
+    x, z = sphere_verts[:, 0], sphere_verts[:, 2]
+    lab = np.full(sphere_verts.shape[0], 3, np.int64)   # belly default
+    lab[(z <= 0.55) & (x >= 0.0)] = 2                    # back (x = "up")
+    lab[(z > 0.55) & (z <= 0.8)] = 1                     # neck
+    lab[z > 0.8] = 0                                     # head
+    return lab
+
+
+def face_part_labels(sphere_verts, faces):
+    """[F] part id from the face centroid's canonical position."""
+    cent = sphere_verts[faces].mean(axis=1)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-6)
+    return part_labels(cent)
+
+
+def base_texture(sphere_verts, faces, tex_size):
+    """[F, T2, 3] procedural per-face colors from canonical coords
+    (|y| keeps it left/right symmetric like the model's texture head)."""
+    cent = sphere_verts[faces].mean(axis=1)
+    x, y, z = cent[:, 0], np.abs(cent[:, 1]), cent[:, 2]
+    r = 0.5 + 0.45 * np.sin(4.0 * z + 2.0 * x)
+    g = 0.5 + 0.45 * np.sin(3.0 * x - 2.5 * z + 1.3)
+    b = 0.5 + 0.45 * np.sin(5.0 * y + 1.1 * z + 2.6)
+    col = np.stack([r, g, b], axis=1).clip(0.05, 0.95).astype(np.float32)
+    T2 = tex_size * tex_size
+    return np.repeat(col[:, None, :], T2, axis=1)
+
+
+def sample_camera(rng):
+    """GT 7-vec [scale, tx, ty, quat]: side-ish views about the symmetry
+    axis (y), small elevation about x (host numpy Hamilton product)."""
+    az = np.deg2rad(rng.uniform(40.0, 140.0))
+    el = np.deg2rad(rng.uniform(-20.0, 20.0))
+    qy = np.array([np.cos(az / 2), 0.0, np.sin(az / 2), 0.0])
+    qx = np.array([np.cos(el / 2), np.sin(el / 2), 0.0, 0.0])
+    w1, x1, y1, z1 = qx
+    w2, x2, y2, z2 = qy
+    q = np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+    s = rng.uniform(0.62, 0.82)
+    t = rng.uniform(-0.12, 0.12, size=2)
+    return np.concatenate([[s], t, q]).astype(np.float32)
+
+
+def generate_dataset(template, n, seed=0, image_size=256, batch=16,
+                     kp_seed=17):
+    """Render n samples; returns a dict of stacked numpy arrays:
+      img [n,S,S,3] f32 in [0,1], mask [n,S,S] f32,
+      part_prob [n,S,S,5] f32, dts_barrier [n,S,S,1] f32,
+      kp [n,15,3] f32 ([-1,1] image coords + visible flag), cam [n,7].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..native import edt_barrier_batch
+    from ..renderer import SoftRenderer
+
+    S = image_size
+    sphere = template.verts / np.maximum(
+        np.linalg.norm(template.verts, axis=1, keepdims=True), 1e-6
+    )
+    faces_np = template.faces
+    rng = np.random.RandomState(seed)
+
+    base_v = base_bird(sphere)
+    tex0 = base_texture(sphere, faces_np, template.tex_size)
+    flab = face_part_labels(sphere, faces_np)
+    T2 = template.tex_size ** 2
+    # one-hot part textures: render A carries parts 1..3 (head/neck/back)
+    # in rgb, render B carries part 4 (belly) in r
+    texA = np.zeros((template.num_faces, T2, 3), np.float32)
+    texB = np.zeros((template.num_faces, T2, 3), np.float32)
+    for pid in range(4):
+        sel = flab == pid
+        if pid < 3:
+            texA[sel, :, pid] = 1.0
+        else:
+            texB[sel, :, 0] = 1.0
+
+    kp_idx = farthest_point_sample(base_v, 15, seed=kp_seed)
+
+    img_renderer = SoftRenderer(
+        image_size=S, render_type="softmax", anti_aliasing=True,
+        ambient_intensity=1.0, directional_intensity=0.0,
+        background_color=(1.0, 1.0, 1.0),
+    )
+    part_renderer = SoftRenderer(
+        image_size=S, render_type="softmax", anti_aliasing=True,
+        ambient_intensity=1.0, directional_intensity=0.0,
+        background_color=(0.0, 0.0, 0.0),
+    )
+    faces = jnp.asarray(faces_np)
+
+    @jax.jit
+    def render_all(verts, cams, tex):
+        rgba = img_renderer.render(verts, faces, cams, tex).rgba
+        pA = part_renderer.render(verts, faces, cams,
+                                  jnp.asarray(texA)[None].repeat(
+                                      verts.shape[0], 0)).rgba[..., :3]
+        pB = part_renderer.render(verts, faces, cams,
+                                  jnp.asarray(texB)[None].repeat(
+                                      verts.shape[0], 0)).rgba[..., :1]
+        kp2d = img_renderer.project_points(verts, cams)[:, jnp.asarray(kp_idx)]
+        return rgba, pA, pB, kp2d
+
+    out = {k: [] for k in ("img", "mask", "part_prob", "kp", "cam")}
+    for start in range(0, n, batch):
+        bs = min(batch, n - start)
+        verts = np.stack([
+            base_v * sample_deform(sphere, rng) for _ in range(bs)
+        ])
+        cams = np.stack([sample_camera(rng) for _ in range(bs)])
+        tint = rng.uniform(0.75, 1.1, size=(bs, 1, 1, 3)).astype(np.float32)
+        tex = np.clip(tex0[None] * tint, 0.0, 1.0)
+        # pad the trailing partial batch so every render compiles once
+        if bs < batch:
+            pad = batch - bs
+            verts = np.concatenate([verts, verts[:1].repeat(pad, 0)])
+            cams = np.concatenate([cams, cams[:1].repeat(pad, 0)])
+            tex = np.concatenate([tex, tex[:1].repeat(pad, 0)])
+        rgba, pA, pB, kp2d = jax.device_get(render_all(
+            jnp.asarray(verts), jnp.asarray(cams), jnp.asarray(tex)
+        ))
+        rgba, pA, pB, kp2d = rgba[:bs], pA[:bs], pB[:bs], kp2d[:bs]
+        mask = np.clip(rgba[..., 3], 0.0, 1.0)
+        img = np.clip(rgba[..., :3], 0.0, 1.0)
+        # composite on white like CUB-on-background (renderer bg is white
+        # but soft edges blend): img already composited by the renderer
+        parts = np.concatenate([pA, pB], axis=-1)          # [b,S,S,4]
+        parts = np.clip(parts, 0.0, 1.0) * mask[..., None]
+        bg = np.clip(1.0 - parts.sum(-1, keepdims=True), 0.0, 1.0)
+        part_prob = np.concatenate([bg, parts], axis=-1)   # [b,S,S,5]
+        kp = np.concatenate(
+            [kp2d, np.ones((bs, 15, 1), np.float32)], axis=-1
+        )
+        out["img"].append(img.astype(np.float32))
+        out["mask"].append(mask.astype(np.float32))
+        out["part_prob"].append(part_prob.astype(np.float32))
+        out["kp"].append(kp.astype(np.float32))
+        out["cam"].append(cams[:bs])
+    data = {k: np.concatenate(v) for k, v in out.items()}
+    data["dts_barrier"] = edt_barrier_batch(
+        (data["mask"] > 0.5).astype(np.float32)
+    )[..., None].astype(np.float32)
+    data["kp_idx"] = kp_idx
+    return data
+
+
+class CategoryLoader:
+    """In-memory loader over a generated dataset; yields the CUB batch
+    dict structure (img/mask/dts_barrier/part_prob/kp/{part}_points).
+    Part points are re-sampled per visit like the reference loader
+    (ref: data/base.py:157-166)."""
+
+    def __init__(self, data, batch_size, shuffle=True, seed=0,
+                 use_scops=True, drop_last=True):
+        self.data = data
+        self.n = data["img"].shape[0]
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.use_scops = use_scops
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        if self.drop_last:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)
+
+    def _points(self, part_prob, mask, rng):
+        out = {}
+        for name in PART_NAMES:
+            ch = PART_CH[name]
+            center = image_utils.prob2center(part_prob, mask, ch=ch)
+            out[f"{name}_points"] = image_utils.sample_prob(
+                part_prob, mask, center, POINTS_NUM[name], ch=ch, rng=rng
+            )
+        return out
+
+    def __iter__(self):
+        order = np.arange(self.n)
+        rng = np.random.RandomState(self.seed + self._epoch)
+        if self.shuffle:
+            rng.shuffle(order)
+        self._epoch += 1
+        nb = len(self)
+        for bi in range(nb):
+            idx = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+            batch = {
+                "img": self.data["img"][idx],
+                "mask": self.data["mask"][idx],
+                "dts_barrier": self.data["dts_barrier"][idx],
+                "kp": self.data["kp"][idx],
+            }
+            if self.use_scops:
+                batch["part_prob"] = self.data["part_prob"][idx]
+                pts = [
+                    self._points(self.data["part_prob"][i],
+                                 self.data["mask"][i], rng)
+                    for i in idx
+                ]
+                for k in pts[0]:
+                    batch[k] = np.stack([p[k] for p in pts]).astype(
+                        np.float32
+                    )
+            yield batch
+
+
+class PairLoader:
+    """Single-sample batches over a deterministic shuffle of the test
+    split — two instances with different seeds form the eval pairs, like
+    the reference's size-seeded pair datasets
+    (ref: data/cub_kp_transfer.py:78-102)."""
+
+    def __init__(self, data, seed, n_pairs=None):
+        self.data = data
+        n = data["img"].shape[0]
+        rng = np.random.RandomState(seed)
+        self.order = rng.permutation(n)[: (n_pairs or n)]
+
+    def __len__(self):
+        return len(self.order)
+
+    def __iter__(self):
+        for i in self.order:
+            yield {
+                "img": self.data["img"][i:i + 1],
+                "mask": self.data["mask"][i:i + 1],
+                "kp": self.data["kp"][i:i + 1],
+            }

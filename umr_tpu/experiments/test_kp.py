@@ -149,26 +149,38 @@ def run(cfg: Config, loaders=None):
         )
     dl1, dl2 = loaders
 
+    # flow mode consumes only tex_flow + cam — rendering the predicted
+    # masks there would waste a 512^2 AA render per pair (10k of them at
+    # the reference eval config), so the render is gated on the mode
+    # (masks are consumed only by map_kp_cam)
+    want_masks = cfg.mode != "flow"
+
     @jax.jit
     def forward(input_img):
         out = model.apply(
             variables, input_img, train=False,
             rngs={"sample": jax.random.key(0)},
         )
-        verts = mean_shape[None] + symmetrize(out["delta_v"], template)
-        masks = renderer.render(verts, faces, out["cam"]).rgba[..., 3]
+        masks = None
+        if want_masks:
+            verts = mean_shape[None] + symmetrize(out["delta_v"], template)
+            masks = renderer.render(verts, faces, out["cam"]).rgba[..., 3]
         return out["tex_flow"], out["cam"], masks
 
-    @jax.jit
-    def transfer_flow(kps, flows):
+    # pairs are batched GROUP at a time through one jitted call (the
+    # reference evaluates one pair per iteration, test_kp.py:224-324; a
+    # TPU-shaped eval amortizes launch + model forward across pairs).
+    # Transfers vmap over the pair axis.
+    GROUP_PAIRS = max(1, min(16, int(cfg.number_pairs)))
+
+    def _flow_one(kps, flows):
         k12 = map_kp_flow(kps[0], flows[0], flows[1], cfg.image_size,
                           cfg.sigma)
         k21 = map_kp_flow(kps[1], flows[1], flows[0], cfg.image_size,
                           cfg.sigma)
         return k12, k21
 
-    @jax.jit
-    def transfer_cam(kps, cams, masks):
+    def _cam_one(kps, cams, masks):
         pp = renderer.project_points
         k12 = map_kp_cam(kps[0], cams[0], cams[1], masks[1], mean_shape,
                          pp, cfg.image_size)
@@ -176,34 +188,63 @@ def run(cfg: Config, loaders=None):
                          pp, cfg.image_size)
         return k12, k21
 
+    transfer_flow = jax.jit(jax.vmap(_flow_one))
+    transfer_cam = jax.jit(jax.vmap(_cam_one))
+
     err_scaling = (1 + 2 * cfg.padding_frac) / 2.0
     kp_errs, kp_vis = [], []
     n_done = 0
-    for b1, b2 in zip(dl1, dl2):
-        imgs = np.concatenate([b1["img"], b2["img"]], axis=0)
-        kps = np.concatenate([b1["kp"], b2["kp"]], axis=0)
-        input_img = jnp.asarray((imgs - RESNET_MEAN) / RESNET_STD)
+
+    def process_group(group):
+        """group: list of (imgs [2,H,W,3], kps [2,K,3]) pairs; the last
+        group is padded by repeating its final pair (one compiled shape),
+        padding results discarded."""
+        nonlocal n_done
+        n = len(group)
+        items = group + [group[-1]] * (GROUP_PAIRS - n)
+        imgs = np.stack([g[0] for g in items])         # [G,2,H,W,3]
+        kps = np.stack([g[1] for g in items])          # [G,2,K,3]
+        flat = imgs.reshape((-1,) + imgs.shape[2:])
+        input_img = jnp.asarray((flat - RESNET_MEAN) / RESNET_STD)
         flows, cams, masks = forward(input_img)
+        G = GROUP_PAIRS
+        flows = flows.reshape((G, 2) + flows.shape[1:])
         kps_j = jnp.asarray(kps)
         if cfg.mode == "flow":
-            k1_to_k2, k2_to_k1 = transfer_flow(kps_j, flows)
+            k12, k21 = transfer_flow(kps_j, flows)
         else:
-            k1_to_k2, k2_to_k1 = transfer_cam(kps_j, cams, masks)
+            cams = cams.reshape((G, 2) + cams.shape[1:])
+            masks = masks.reshape((G, 2) + masks.shape[1:])
+            k12, k21 = transfer_cam(kps_j, cams, masks)
 
-        kps_gt = kps[:, :, 0:2]
-        vis = (kps[0, :, 2] * kps[1, :, 2])[None].repeat(2, axis=0)
+        kps_gt = kps[:, :, :, 0:2]                     # [G,2,K,2]
+        vis = (kps[:, 0, :, 2] * kps[:, 1, :, 2])[:, None].repeat(2, axis=1)
         kps_pred = np.stack(
-            [np.asarray(k2_to_k1), np.asarray(k1_to_k2)], axis=0
-        )
+            [np.asarray(k21), np.asarray(k12)], axis=1
+        )                                              # [G,2,K,2]
         err = kps_pred - kps_gt
-        err = np.sqrt((err ** 2).sum(axis=2)) * err_scaling
-        kp_errs.append(err)
-        kp_vis.append(vis)
-        if cfg.visualize:
-            _save_kp_visuals(cfg, imgs, kps, kps_pred[0], vis[0], n_done)
-        n_done += 1
-        if n_done >= cfg.number_pairs:
+        err = np.sqrt((err ** 2).sum(axis=3)) * err_scaling
+        for gi in range(n):
+            kp_errs.append(err[gi])
+            kp_vis.append(vis[gi])
+            if cfg.visualize:
+                _save_kp_visuals(cfg, imgs[gi], kps[gi], kps_pred[gi, 0],
+                                 vis[gi, 0], n_done)
+            n_done += 1
+
+    pending = []
+    for b1, b2 in zip(dl1, dl2):
+        pending.append((
+            np.concatenate([b1["img"], b2["img"]], axis=0),
+            np.concatenate([b1["kp"], b2["kp"]], axis=0),
+        ))
+        if len(pending) == GROUP_PAIRS:
+            process_group(pending)
+            pending = []
+        if n_done + len(pending) >= cfg.number_pairs:
             break
+    if pending:
+        process_group(pending)
 
     kp_errs = np.concatenate(kp_errs)
     kp_vis = np.concatenate(kp_vis)

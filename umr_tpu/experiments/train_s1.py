@@ -85,7 +85,11 @@ def run(cfg: Config, dataloader=None):
 
 
 def _maybe_load_lpips(cfg):
-    """Load converted torchvision AlexNet weights if available."""
+    """Load converted torchvision AlexNet weights if available.
+
+    Absent weights mean the perceptual loss runs on a RANDOM AlexNet —
+    warned loudly (the reference's LPIPS always uses torchvision
+    pretrained features, PerceptualSimilarity models/dist_model.py:29)."""
     import os
 
     path = os.environ.get("UMR_TPU_LPIPS_WEIGHTS", "weights/lpips_alex.npz")
@@ -93,6 +97,11 @@ def _maybe_load_lpips(cfg):
         from ..models.weight_io import load_lpips_params
 
         return load_lpips_params(path)
+    print(
+        f"WARNING: LPIPS AlexNet weights not found at '{path}' — the "
+        "perceptual loss will use a RANDOM-INIT AlexNet. Run "
+        "tools/convert_torch_weights.py or set UMR_TPU_LPIPS_WEIGHTS."
+    )
     return None
 
 

@@ -706,15 +706,16 @@ def _compute_bins(face_vertices, cfg: _Cfg, max_cover, entry_cap=None):
         ok_flat = ok.reshape(F, C2)
         entry_ok = ok_flat & (rank < allowed_g)
         position = astart_g + rank
-        position = jnp.where(entry_ok, position, E_al)   # dump slot
+        position = jnp.where(entry_ok, position, E_al)   # OOB -> dropped
 
-        # positions are unique by construction except the shared dump
-        # slot E_al, which is sliced off — safe to promise uniqueness so
-        # XLA emits the fast scatter
+        # in-bounds positions are unique by construction; dump entries all
+        # carry the out-of-bounds index E_al and mode="drop" skips them
+        # entirely, so the uniqueness promise genuinely holds (a shared
+        # in-bounds dump slot under unique_indices would be UB in XLA)
         fids = jnp.broadcast_to(farange[:, None], (F, C2))
-        al_fids = jnp.full((E_al + 1,), F, jnp.int32).at[
+        al_fids = jnp.full((E_al,), F, jnp.int32).at[
             position.reshape(-1)
-        ].set(fids.reshape(-1), unique_indices=True)[:E_al]
+        ].set(fids.reshape(-1), unique_indices=True, mode="drop")
         return al_fids, astart
 
     return jax.vmap(bin_one)(face_vertices)

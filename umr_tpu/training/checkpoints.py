@@ -31,18 +31,25 @@ def restore_state(ckpt_dir: str, label: str, target):
     return ckptr.restore(path, target=target)
 
 
-def save_pth(path: str, params: Any, template: Any = None) -> None:
+def save_pth(path: str, params: Any, template: Any = None,
+             meta: Any = None) -> None:
     """Export model params (+ mean_v buffer) as a torch state_dict .pth.
 
     Keys are the flattened flax paths ('encoder/resnet/conv1/kernel', ...);
     tools/convert_torch_weights.py maps between this layout and the
-    reference's torch module names.
+    reference's torch module names. meta: optional dict of provenance
+    scalars (e.g. trunk_pretrained) stored under '_meta/<key>' — ignored
+    by load_pth's shape-checked rebuild, readable by anyone auditing the
+    checkpoint.
     """
     import torch
 
     flat = _flatten("", params)
     if template is not None:
         flat.update(_flatten("", {"mean_v": template["mean_v"]}))
+    for k, v in (meta or {}).items():
+        if v is not None:
+            flat[f"_meta/{k}"] = np.asarray(v)
     sd = {k: torch.tensor(np.asarray(v)) for k, v in flat.items()}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     torch.save(sd, path)

@@ -102,10 +102,14 @@ class Trainer:
 
     def save(self, label):
         checkpoints.save_state(self.save_dir, "pred", self.state)
+        tp = getattr(self.state, "trunk_pretrained", None)
         checkpoints.save_pth(
             os.path.join(self.save_dir, f"pred_net_{label}.pth"),
             jax.device_get(self.state.params["model"]),
             jax.device_get(self.state.template),
+            meta=None if tp is None else {
+                "trunk_pretrained": jax.device_get(tp)
+            },
         )
 
     def train(self):
@@ -125,7 +129,23 @@ class Trainer:
             ))
             return self.state
 
-        for epoch in range(cfg.num_pretrain_epochs, cfg.num_epochs):
+        # Resume into the RIGHT epoch: the restored step says how many
+        # batches already ran, so skip the completed epochs instead of
+        # re-training the full range (which would over-train and stretch
+        # the lr-decay horizon), and advance the loader's epoch counter so
+        # the shuffle orders aren't replayed from epoch 0.
+        done_epochs = 0
+        try:
+            spe = len(self.dataloader)
+            if spe > 0:
+                done_epochs = total_steps // spe
+        except TypeError:
+            pass  # sized loaders only; unsized ones restart at epoch 0
+        if done_epochs and hasattr(self.dataloader, "_epoch"):
+            self.dataloader._epoch = done_epochs
+
+        for epoch in range(cfg.num_pretrain_epochs + done_epochs,
+                           cfg.num_epochs):
             epoch_iter = 0
             for batch in self.dataloader:
                 rng, step_key = jax.random.split(rng)
