@@ -89,14 +89,17 @@ def test_loaders(data):
     b2 = next(iter(dl))
     assert not np.array_equal(b["img"], b2["img"])
 
-    p1, p2 = PairLoader(d, seed=1, n_pairs=3), PairLoader(d, seed=2,
-                                                          n_pairs=3)
-    assert len(p1) == 3
+    from umr_tpu.data.synthetic_category import make_pair_orders
+
+    o1, o2 = make_pair_orders(d["img"].shape[0], 20, seed=1)
+    assert len(o1) == 20 and not np.any(o1 == o2)   # no self-pairs
+    # deterministic
+    r1, r2 = make_pair_orders(d["img"].shape[0], 20, seed=1)
+    assert np.array_equal(o1, r1) and np.array_equal(o2, r2)
+    p1 = PairLoader(d, o1)
+    assert len(p1) == 20
     s = next(iter(p1))
     assert s["img"].shape == (1, 32, 32, 3) and s["kp"].shape == (1, 15, 3)
-    # deterministic: same seed -> same order
-    assert np.array_equal(p1.order, PairLoader(d, seed=1, n_pairs=3).order)
-    assert not np.array_equal(p1.order, p2.order)
 
 
 def test_fps_and_symmetry():

@@ -57,12 +57,24 @@ def main():
             jax.lax.stop_gradient(fv), jax.lax.stop_gradient(tx), **kw
         ).rgba.sum()
 
+    def fwd_mask_only(fv, tx):
+        return rk.soft_rasterize_pallas(
+            jax.lax.stop_gradient(fv), jax.lax.stop_gradient(tx),
+            mask_only=True, **kw
+        ).rgba.sum()
+
     def fwdbwd(fv, tx):
         out = rk.soft_rasterize_pallas(fv, tx, **kw)
         return out.rgba.sum()
 
     def fwdbwd_detach(fv, tx):
         out = rk.soft_rasterize_pallas(fv, tx, rgb_geom_detach=True, **kw)
+        return out.rgba.sum()
+
+    def fwdbwd_notex(fv, tx):
+        out = rk.soft_rasterize_pallas(
+            fv, jax.lax.stop_gradient(tx), tex_grads=False, **kw
+        )
         return out.rgba.sum()
 
     cfg = rk._make_cfg(S, (0, 0, 0), 1.0, 100.0, 1e-3, 1e-5, 1e-10, 1e-4,
@@ -73,9 +85,12 @@ def main():
 
     timeit("prepare+sort+gather", jax.jit(prep), fvs, tex)
     timeit("fwd only", jax.jit(fwd_only), fvs, tex)
+    timeit("fwd mask_only", jax.jit(fwd_mask_only), fvs, tex)
     timeit("fwd+bwd", jax.jit(jax.grad(fwdbwd, argnums=(0, 1))), fvs, tex)
     timeit("fwd+bwd rgb_geom_detach",
            jax.jit(jax.grad(fwdbwd_detach, argnums=(0, 1))), fvs, tex)
+    timeit("fwd+bwd tex_grads=False",
+           jax.jit(jax.grad(fwdbwd_notex, argnums=0)), fvs, tex)
 
 
 if __name__ == "__main__":

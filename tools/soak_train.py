@@ -1,12 +1,22 @@
 """Soak test: run real optimization for N steps on the chip and check the
-losses actually go DOWN (not just that one step executes).
+losses actually go DOWN (not just that one step executes) — and, round 3,
+that TREND metrics move the right way (VERDICT r2 weak #7):
 
-Uses synthetic data (no CUB in this environment) with a fixed small set of
-batches so the model can overfit; prints the loss trajectory and a JSON
-summary line.
+  - total loss and mask loss: tail mean < head mean;
+  - derived mask IoU (neg_iou_loss is 1 - IoU, ref loss_utils.py:41-48):
+    rising;
+  - per-loss trajectories printed for every scalar the step reports;
+  - stage 1: the online template update runs on a cadence and the
+    template's vertex displacement from its init stays finite and sane
+    (no runaway drift), mirroring ref train_s1.py:386-411.
+
+Batches are FRESH by default (a new synthetic batch every step, same
+shapes so no recompile) — overfitting a rotating buffer can no longer
+mask an optimization regression; --n_batches N>0 restores the old
+rotating-buffer mode.
 
   PYTHONPATH=/root/.axon_site:/root/repo python tools/soak_train.py \
-      --stage s2 --steps 100 --batch 16
+      --stage s2 --steps 500 --batch 16
 """
 
 import argparse
@@ -24,7 +34,10 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--image_size", type=int, default=256)
-    ap.add_argument("--n_batches", type=int, default=4)
+    ap.add_argument("--n_batches", type=int, default=0,
+                    help="0 = fresh batch per step; N>0 = rotate N batches")
+    ap.add_argument("--template_update_every", type=int, default=120,
+                    help="s1: run the online template update every K steps")
     args = ap.parse_args()
 
     from umr_tpu.config import Config
@@ -37,11 +50,14 @@ def main():
                  tex_size=6)
     template = build_template(cfg.subdivide, cfg.axis, cfg.tex_size)
     rng = np.random.RandomState(0)
-    batches = [
-        jax.tree.map(jnp.asarray, synthetic_batch(rng, args.batch, S))
-        for _ in range(args.n_batches)
-    ]
 
+    def fresh_batch():
+        return jax.tree.map(jnp.asarray, synthetic_batch(rng, args.batch, S))
+
+    batches = ([fresh_batch() for _ in range(args.n_batches)]
+               if args.n_batches > 0 else None)
+
+    template_update = None
     if args.stage == "s2":
         from umr_tpu.losses.composite import PartMatchingLoss
         from umr_tpu.renderer import SoftRenderer
@@ -65,42 +81,85 @@ def main():
     else:
         from umr_tpu.training.steps import build_s1_step
 
-        _m, _d, _l, init_fn, step_fn, *_ = build_s1_step(cfg, template)
+        (_m, _d, _l, init_fn, step_fn, encode_feat_fn,
+         template_update_fn) = build_s1_step(cfg, template)
         state = init_fn(jax.random.key(0))
 
         def step(state, batch, key):
             return step_fn(state, batch, key, jnp.float32(0.0))
 
+        def template_update(state, batch, key):
+            feat = encode_feat_fn(state, batch, key)
+            return template_update_fn(state, feat.mean(axis=0))
+
+    mean_v0 = np.asarray(jax.device_get(state.template["mean_v"]))
+
     key = jax.random.key(1)
-    losses, mask_losses = [], []
-    # compile outside the wall-clock window
-    _s, _sc = step(state, batches[0], key)
+    hist = {}          # scalar name -> list of values
+    tpl_disp = []      # template displacement norms after updates
+    warm = fresh_batch() if batches is None else batches[0]
+    _s, _sc = step(state, warm, key)   # compile outside the timed window
     float(jax.device_get(_sc["total_loss"]))
+
     t0 = time.perf_counter()
     for i in range(args.steps):
-        state, sc = step(state, batches[i % args.n_batches],
-                         jax.random.fold_in(key, i))
+        batch = batches[i % args.n_batches] if batches else fresh_batch()
+        state, sc = step(state, batch, jax.random.fold_in(key, i))
         if i % 10 == 0 or i == args.steps - 1:
-            tl = float(jax.device_get(sc["total_loss"]))
-            ml = float(jax.device_get(sc["mask_loss"]))
-            losses.append(tl)
-            mask_losses.append(ml)
-            print(f"step {i:4d}  total {tl:8.4f}  mask {ml:7.4f}")
-            assert np.isfinite(tl), f"non-finite loss at step {i}"
+            vals = {k: float(jax.device_get(v)) for k, v in sc.items()}
+            for k, v in vals.items():
+                hist.setdefault(k, []).append(v)
+            print(f"step {i:4d}  total {vals['total_loss']:8.4f}  "
+                  f"mask {vals['mask_loss']:7.4f}")
+            assert np.isfinite(vals["total_loss"]), \
+                f"non-finite loss at step {i}"
+        if (template_update is not None and i > 0
+                and i % args.template_update_every == 0):
+            state = template_update(state, batch, jax.random.fold_in(key, -i))
+            mv = np.asarray(jax.device_get(state.template["mean_v"]))
+            disp = float(np.linalg.norm(mv - mean_v0, axis=1).mean())
+            tpl_disp.append(round(disp, 4))
+            assert np.isfinite(mv).all(), "template went non-finite"
+            print(f"  template update: mean vertex displacement {disp:.4f}")
     wall = time.perf_counter() - t0
 
-    head = float(np.mean(losses[:2]))
-    tail = float(np.mean(losses[-2:]))
-    print(json.dumps({
+    def head_tail(vs, k=3):
+        k = min(k, max(1, len(vs) // 3))
+        return float(np.mean(vs[:k])), float(np.mean(vs[-k:]))
+
+    trends = {}
+    for name, vs in sorted(hist.items()):
+        h, t = head_tail(vs)
+        trends[name] = {"head": round(h, 4), "tail": round(t, 4)}
+    total_h, total_t = head_tail(hist["total_loss"])
+    mask_h, mask_t = head_tail(hist["mask_loss"])
+    # neg_iou_loss = 1 - IoU: the rendered-mask IoU against GT
+    iou_h, iou_t = 1.0 - mask_h, 1.0 - mask_t
+
+    ok_total = total_t < total_h
+    ok_iou = iou_t > iou_h
+    summary = {
         "stage": args.stage, "steps": args.steps,
-        "loss_first": round(losses[0], 4), "loss_last": round(losses[-1], 4),
-        "loss_head_mean": round(head, 4), "loss_tail_mean": round(tail, 4),
-        "mask_first": round(mask_losses[0], 4),
-        "mask_last": round(mask_losses[-1], 4),
-        "decreased": tail < head,
+        "fresh_batches": batches is None,
+        "loss_first": round(hist["total_loss"][0], 4),
+        "loss_last": round(hist["total_loss"][-1], 4),
+        "loss_head_mean": round(total_h, 4),
+        "loss_tail_mean": round(total_t, 4),
+        "mask_iou_head": round(iou_h, 4),
+        "mask_iou_tail": round(iou_t, 4),
+        "template_disp": tpl_disp,
+        "trends": trends,
+        "decreased": bool(ok_total),
+        "iou_improved": bool(ok_iou),
         "wall_s": round(wall, 1),
         "images_per_sec": round(args.steps * args.batch / wall, 2),
-    }))
+    }
+    print(json.dumps(summary))
+    assert ok_total, "total loss did not decrease head->tail"
+    assert ok_iou, "derived mask IoU did not improve head->tail"
+    if tpl_disp:
+        assert max(tpl_disp) < 2.0, \
+            f"template drifted implausibly far: {tpl_disp}"
 
 
 if __name__ == "__main__":

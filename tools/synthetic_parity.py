@@ -174,12 +174,11 @@ def main():
 
     # ---- eval: kp transfer ----------------------------------------------
     from umr_tpu.experiments import test_kp
+    from umr_tpu.data.synthetic_category import make_pair_orders
 
-    pl1 = PairLoader(test, seed=101, n_pairs=args.n_pairs)
-    pl2 = PairLoader(test, seed=202, n_pairs=args.n_pairs)
+    o1, o2 = make_pair_orders(test["img"].shape[0], args.n_pairs, seed=303)
     pairs_kp = [
-        np.stack([test["kp"][i], test["kp"][j]])
-        for i, j in zip(pl1.order, pl2.order)
+        np.stack([test["kp"][i], test["kp"][j]]) for i, j in zip(o1, o2)
     ]
     id1, id15 = identity_pck(pairs_kp)
     summary["pck_identity_0.1"] = round(id1, 4)
@@ -191,8 +190,7 @@ def main():
         t0 = time.perf_counter()
         pck1, pck15 = test_kp.run(
             cfg_kp,
-            loaders=(PairLoader(test, 101, args.n_pairs),
-                     PairLoader(test, 202, args.n_pairs)),
+            loaders=(PairLoader(test, o1), PairLoader(test, o2)),
         )
         summary[f"pck_{mode}_0.1"] = round(pck1, 4)
         summary[f"pck_{mode}_0.15"] = round(pck15, 4)

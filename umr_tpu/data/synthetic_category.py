@@ -301,17 +301,28 @@ class CategoryLoader:
             yield batch
 
 
-class PairLoader:
-    """Single-sample batches over a deterministic shuffle of the test
-    split — two instances with different seeds form the eval pairs, like
-    the reference's size-seeded pair datasets
-    (ref: data/cub_kp_transfer.py:78-102)."""
+def make_pair_orders(n, n_pairs, seed=0):
+    """Deterministic random pair indices WITH replacement (like the
+    reference's size-seeded pair sampling, ref: data/cub_kp_transfer.py:
+    83-88), self-pairs resampled away (a same-image pair would score a
+    free PCK hit)."""
+    rng = np.random.RandomState(seed)
+    o1 = rng.randint(0, n, size=n_pairs)
+    o2 = rng.randint(0, n, size=n_pairs)
+    while np.any(o1 == o2):
+        eq = o1 == o2
+        o2[eq] = rng.randint(0, n, size=int(eq.sum()))
+    return o1, o2
 
-    def __init__(self, data, seed, n_pairs=None):
+
+class PairLoader:
+    """Single-sample batches over a fixed index order of the test split —
+    two instances with the two halves of make_pair_orders form the eval
+    pairs (ref: data/cub_kp_transfer.py:78-102)."""
+
+    def __init__(self, data, order):
         self.data = data
-        n = data["img"].shape[0]
-        rng = np.random.RandomState(seed)
-        self.order = rng.permutation(n)[: (n_pairs or n)]
+        self.order = np.asarray(order)
 
     def __len__(self):
         return len(self.order)

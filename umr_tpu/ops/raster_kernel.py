@@ -39,6 +39,12 @@ from .rasterize import RasterOut
 GROUP = 8        # faces per inner-loop iteration
 DMA_CH = 32      # entry rows per DMA chunk (multiple of GROUP)
 
+# texel-select formulation experiment knob (see texcolors in _fwd_kernel):
+# "onehot" (default, VPU select-accumulate) | "mxu" (matmul formulation,
+# measured slower — BASELINE.md per-lever table)
+import os as _os
+_TEXSEL = _os.environ.get("UMR_TPU_TEXSEL", "onehot")
+
 # entry-row lane layout (128 lanes): vertex coordinates + face id + texels.
 # The derived per-face planes (inverse barycentric matrix, edge sym
 # products, obtuse flags, frontface sign) are recomputed in-kernel on
@@ -314,6 +320,35 @@ def _fwd_kernel(starts_ref, data_hbm, out_ref, p2f_ref,
             sub_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
 
             def texcolors(pm, g0):
+                if _TEXSEL == "mxu":
+                    # VERDICT-r2 experiment: texel select as an MXU
+                    # contraction — one-hot rows W [T2*G, P] against the
+                    # texel table [3, T2*G]. OUTCOME (BASELINE.md
+                    # per-lever table): Mosaic cannot lower the texel
+                    # table build ("Not implemented: result/input offset
+                    # mismatch on non-concat dimension" on the [G,1] ->
+                    # [T2*G,1] sublane concat); every workaround needs
+                    # in-kernel transposes that dwarf the select, the
+                    # one-hot compares must still run to build W, and the
+                    # color dimension M=3 caps MXU utilization at 3/128
+                    # rows. Kept env-gated (UMR_TPU_TEXSEL=mxu) as the
+                    # reproducible record of the failed lowering.
+                    W = jnp.concatenate(
+                        [(pm["tex_idx"] == tt).astype(dtype)
+                         for tt in range(cfg.T2)], axis=0
+                    )                                   # [T2*G, P]
+                    texmat = jnp.concatenate(
+                        [jnp.concatenate(
+                            [texcol(g0, c, tt) for tt in range(cfg.T2)],
+                            axis=0,
+                        ).reshape(1, cfg.T2 * GROUP) for c in range(3)],
+                        axis=0,
+                    )                                   # [3, T2*G]
+                    cols = jax.lax.dot_general(
+                        texmat, W, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                   # [3, P]
+                    return cols[0:1], cols[1:2], cols[2:3]
                 colr = jnp.zeros_like(pm["frag"])
                 colg = jnp.zeros_like(pm["frag"])
                 colb = jnp.zeros_like(pm["frag"])
