@@ -144,6 +144,12 @@ def main():
     # ---- stage 2 ---------------------------------------------------------
     from umr_tpu.experiments import train_s2
 
+    # NOTE: the reference's stage 2 does NOT load the stage-1 network —
+    # it trains fresh (ImageNet trunk) and takes only mean_v from the
+    # semantic template (ref cub_mesh.py:393-396; train_s2.py has no
+    # model-loading call). train_s2.run already installs mean_v from
+    # stemp_path; the s1 .pth must not be force-loaded (the s1/s2 shape
+    # heads differ: s1's MLP head vs s2's 337*3 delta head).
     cfg2 = Config(**common, name="s2", use_scops=True,
                   num_iter=args.s2_iters)
     s2_pth = osp.join(out, "snap", "s2", "pred_net_latest.pth")
@@ -151,11 +157,7 @@ def main():
     if not args.skip_train:
         loader2 = CategoryLoader(train, args.batch, seed=20,
                                  use_scops=True)
-        os.environ["UMR_TPU_RESUME"] = s1_pth
-        try:
-            train_s2.run(cfg2, dataloader=loader2)
-        finally:
-            del os.environ["UMR_TPU_RESUME"]
+        train_s2.run(cfg2, dataloader=loader2)
     summary["s2_wall_s"] = round(time.perf_counter() - t0, 1)
     assert osp.exists(s2_pth), s2_pth
 

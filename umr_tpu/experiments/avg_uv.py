@@ -79,9 +79,13 @@ def run(cfg: Config, dataloader=None):
     if dataloader is None:
         dataloader = cub_data.data_loader(cfg, shuffle=False, mirror=False)
 
+    # params ride as ARGUMENTS: closing ~45 MB of weights into the jit
+    # breaks the tunneled chip's remote compile (HTTP 413; see the verify
+    # recipe's gotcha list)
     @jax.jit
-    def score_batch(input_img, imgs, masks, part_segs):
+    def score_batch(variables, lp, input_img, imgs, masks, part_segs):
         """Exemplar scoring pass (ref: avg_uv.py:141-198)."""
+        mean_shape = symmetrize(variables["template"]["mean_v"], template)
         out = model.apply(
             variables, input_img, train=False,
             rngs={"sample": jax.random.key(0)},
@@ -116,8 +120,8 @@ def run(cfg: Config, dataloader=None):
             np.transpose(db["part_prob"], (0, 3, 1, 2))
         )
         score, uv_parts, _ = score_batch(
-            jnp.asarray(db["input_img"]), jnp.asarray(db["img"]),
-            jnp.asarray(db["mask"]), part_segs,
+            variables, lp, jnp.asarray(db["input_img"]),
+            jnp.asarray(db["img"]), jnp.asarray(db["mask"]), part_segs,
         )
         score = np.asarray(score)
         i = int(score.argmin())
@@ -131,7 +135,7 @@ def run(cfg: Config, dataloader=None):
     best_uv_j = jnp.asarray(best_uv)[None]
 
     @jax.jit
-    def batch_avg(input_img, part_segs):
+    def batch_avg(variables, input_img, part_segs):
         out = model.apply(
             variables, input_img, train=False,
             rngs={"sample": jax.random.key(0)},
@@ -148,7 +152,8 @@ def run(cfg: Config, dataloader=None):
     for batch in batches:
         db = prepare_batch(batch, use_scops=True, use_texture=False)
         part_segs = jnp.asarray(np.transpose(db["part_prob"], (0, 3, 1, 2)))
-        s, idx = batch_avg(jnp.asarray(db["input_img"]), part_segs)
+        s, idx = batch_avg(variables, jnp.asarray(db["input_img"]),
+                           part_segs)
         s = np.asarray(s)
         avg_uv_parts = s if avg_uv_parts is None else avg_uv_parts + s
         counter += idx.shape[0]

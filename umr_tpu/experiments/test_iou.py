@@ -112,8 +112,10 @@ def run(cfg: Config, dataloader=None):
     if dataloader is None:
         dataloader = cub_data.data_loader(cfg, shuffle=False, mirror=False)
 
+    # variables ride as an ARGUMENT: a ~45 MB closure breaks the tunneled
+    # chip's remote compile (HTTP 413; verify-recipe gotcha)
     @jax.jit
-    def pred_fn(img, rng):
+    def pred_fn(variables, img, rng):
         mask, out = predict_masks(
             model, variables, renderer, faces, template, img, rng
         )
@@ -124,7 +126,8 @@ def run(cfg: Config, dataloader=None):
     rng = jax.random.key(cfg.seed)
     for batch in dataloader:
         db = prepare_batch(batch, use_scops=False, use_texture=False)
-        pred_mask, out = pred_fn(jnp.asarray(db["input_img"]), rng)
+        pred_mask, out = pred_fn(variables, jnp.asarray(db["input_img"]),
+                                 rng)
         pred_mask = np.asarray(pred_mask)
         mask_gt = db["mask"].reshape(db["mask"].shape[0], -1)
         mask_pred = pred_mask.reshape(pred_mask.shape[0], -1)

@@ -155,8 +155,10 @@ def run(cfg: Config, loaders=None):
     # (masks are consumed only by map_kp_cam)
     want_masks = cfg.mode != "flow"
 
+    # variables ride as an ARGUMENT: a ~45 MB closure breaks the tunneled
+    # chip's remote compile (HTTP 413; verify-recipe gotcha)
     @jax.jit
-    def forward(input_img):
+    def forward(variables, input_img):
         out = model.apply(
             variables, input_img, train=False,
             rngs={"sample": jax.random.key(0)},
@@ -206,7 +208,7 @@ def run(cfg: Config, loaders=None):
         kps = np.stack([g[1] for g in items])          # [G,2,K,3]
         flat = imgs.reshape((-1,) + imgs.shape[2:])
         input_img = jnp.asarray((flat - RESNET_MEAN) / RESNET_STD)
-        flows, cams, masks = forward(input_img)
+        flows, cams, masks = forward(variables, input_img)
         G = GROUP_PAIRS
         flows = flows.reshape((G, 2) + flows.shape[1:])
         kps_j = jnp.asarray(kps)
