@@ -103,11 +103,58 @@ def test_missing_pretrained_weights_warn_and_record(tmp_path, monkeypatch,
     assert "_meta/trunk_pretrained" in sd
     assert not bool(sd["_meta/trunk_pretrained"])
     # load_pth's shape-checked rebuild ignores the meta entry
-    params, _ = checkpoints.load_pth(
+    params, _, _ = checkpoints.load_pth(
         str(pth), jax.device_get(state.params["model"]),
         jax.device_get(state.template),
     )
     assert "_meta" not in params
+
+
+def test_pth_roundtrips_batch_stats(tmp_path, capsys):
+    """BatchNorm running stats must survive the .pth round trip: the
+    reference evals from state_dict running_mean/running_var
+    (test_utils.py:106-116 + model.eval()); exporting params only made
+    every eval entry point run on INIT statistics (the bug that
+    collapsed the first synthetic-parity curriculum: eval-mode
+    uvimage_pred was a near-constant while train-mode was healthy)."""
+    template = build_template(subdivide=2, axis=1, tex_size=2)
+    _, _, _, init_fn, *_ = build_s1_step(CFG, template)
+    state = init_fn(jax.random.key(0))
+    # make the stats distinguishable from init (mean 0 / var 1)
+    bs = jax.tree.map(
+        lambda a: np.full_like(np.asarray(a), 0.25),
+        jax.device_get(state.batch_stats["model"]),
+    )
+    pth = tmp_path / "bs.pth"
+    checkpoints.save_pth(
+        str(pth), jax.device_get(state.params["model"]),
+        jax.device_get(state.template), batch_stats=bs,
+    )
+    _, _, bs_back = checkpoints.load_pth(
+        str(pth), jax.device_get(state.params["model"]),
+        jax.device_get(state.template),
+        jax.device_get(state.batch_stats["model"]),
+    )
+    for a, b in zip(jax.tree.leaves(bs), jax.tree.leaves(bs_back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    capsys.readouterr()
+
+    # a stats-less export (pre-fix checkpoint) must WARN and fall back
+    old = tmp_path / "old.pth"
+    checkpoints.save_pth(
+        str(old), jax.device_get(state.params["model"]),
+        jax.device_get(state.template),
+    )
+    _, _, bs_init = checkpoints.load_pth(
+        str(old), jax.device_get(state.params["model"]),
+        jax.device_get(state.template),
+        jax.device_get(state.batch_stats["model"]),
+    )
+    assert "no BatchNorm running stats" in capsys.readouterr().out
+    for a, b in zip(jax.tree.leaves(bs_init),
+                    jax.tree.leaves(jax.device_get(
+                        state.batch_stats["model"]))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_overlay_tree_shape_mismatch_raises():

@@ -51,12 +51,15 @@ def run(cfg: Config, dataloader=None):
         {"params": jax.random.key(0), "sample": jax.random.key(1)},
         jnp.zeros((1, H, H, 3)), train=True,
     )
-    params, template_vars = checkpoints.load_pth(
-        cfg.model_path, variables["params"], variables["template"]
+    params, template_vars, batch_stats = checkpoints.load_pth(
+        cfg.model_path, variables["params"], variables["template"],
+        variables.get("batch_stats"),
     )
     variables = dict(variables)
     variables["params"] = params
     variables["template"] = template_vars or variables["template"]
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
 
     lpips = LPIPSAlex()
     from .train_s1 import _maybe_load_lpips

@@ -91,12 +91,15 @@ def run(cfg: Config, dataloader=None):
             osp.join(cfg.checkpoint_dir, cfg.name, "pred_net_latest.pth"),
         )
         if osp.exists(pth):
-            params_m, tmpl = checkpoints.load_pth(
-                pth, state.params["model"], state.template
+            params_m, tmpl, bstats = checkpoints.load_pth(
+                pth, state.params["model"], state.template,
+                state.batch_stats.get("model"),
             )
             state = state.replace(
                 params={**state.params, "model": params_m},
                 template=tmpl or state.template,
+                batch_stats={**state.batch_stats, "model": bstats}
+                if bstats is not None else state.batch_stats,
             )
 
     if dataloader is None:

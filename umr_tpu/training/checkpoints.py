@@ -32,19 +32,28 @@ def restore_state(ckpt_dir: str, label: str, target):
 
 
 def save_pth(path: str, params: Any, template: Any = None,
-             meta: Any = None) -> None:
-    """Export model params (+ mean_v buffer) as a torch state_dict .pth.
+             meta: Any = None, batch_stats: Any = None) -> None:
+    """Export model params (+ mean_v buffer + BN running stats) as a
+    torch state_dict .pth.
 
     Keys are the flattened flax paths ('encoder/resnet/conv1/kernel', ...);
     tools/convert_torch_weights.py maps between this layout and the
-    reference's torch module names. meta: optional dict of provenance
-    scalars (e.g. trunk_pretrained) stored under '_meta/<key>' — ignored
-    by load_pth's shape-checked rebuild, readable by anyone auditing the
+    reference's torch module names. batch_stats: the model's BatchNorm
+    running statistics — a torch state_dict always carries running_mean/
+    running_var and the reference evals from them (model.eval() after
+    load_state_dict, ref: nnutils/test_utils.py:106-116), so a .pth
+    without them silently evals with init stats; they flatten into the
+    same namespace as params ('.../BatchNorm_0/mean' vs '.../scale' —
+    leaf names are disjoint). meta: optional dict of provenance scalars
+    (e.g. trunk_pretrained) stored under '_meta/<key>' — ignored by
+    load_pth's shape-checked rebuild, readable by anyone auditing the
     checkpoint.
     """
     import torch
 
     flat = _flatten("", params)
+    if batch_stats is not None:
+        flat.update(_flatten("", batch_stats))
     if template is not None:
         flat.update(_flatten("", {"mean_v": template["mean_v"]}))
     for k, v in (meta or {}).items():
@@ -55,10 +64,18 @@ def save_pth(path: str, params: Any, template: Any = None,
     torch.save(sd, path)
 
 
-def load_pth(path: str, params_like: Any, template_like: Any = None):
+def load_pth(path: str, params_like: Any, template_like: Any = None,
+             batch_stats_like: Any = None):
     """Restore params saved by save_pth (shape-checked; skips batch-shaped
     buffers by construction — we have none, unlike the reference's
-    uv_sampler/noise, ref: test_utils.py:106-116)."""
+    uv_sampler/noise, ref: test_utils.py:106-116).
+
+    Returns (params, template, batch_stats); template/batch_stats are
+    None when the corresponding *_like is None. Checkpoints written
+    before batch_stats export get a loud warning and init stats — eval
+    through init BN statistics is silently degraded otherwise (the bug
+    that collapsed the first synthetic-parity curriculum run).
+    """
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
@@ -80,7 +97,16 @@ def load_pth(path: str, params_like: Any, template_like: Any = None):
         mv = flat.get("mean_v")
         template = {"mean_v": mv if mv is not None
                     else template_like["mean_v"]}
-    return params, template
+    batch_stats = None
+    if batch_stats_like is not None:
+        stat_keys = set(_flatten("", batch_stats_like))
+        if stat_keys and not (stat_keys & set(flat)):
+            print(f"WARNING: {path} carries no BatchNorm running stats "
+                  "(pre-fix export?) — eval will run with INIT statistics "
+                  "and be badly degraded. Re-export the .pth from the "
+                  "Orbax state (tools/reexport_pth.py).")
+        batch_stats = rebuild("", batch_stats_like)
+    return params, template, batch_stats
 
 
 def _flatten(prefix: str, tree: Any) -> dict:

@@ -103,6 +103,7 @@ class Trainer:
     def save(self, label):
         checkpoints.save_state(self.save_dir, "pred", self.state)
         tp = getattr(self.state, "trunk_pretrained", None)
+        bs = getattr(self.state, "batch_stats", None) or {}
         checkpoints.save_pth(
             os.path.join(self.save_dir, f"pred_net_{label}.pth"),
             jax.device_get(self.state.params["model"]),
@@ -110,6 +111,7 @@ class Trainer:
             meta=None if tp is None else {
                 "trunk_pretrained": jax.device_get(tp)
             },
+            batch_stats=jax.device_get(bs.get("model")) if bs else None,
         )
 
     def train(self):
