@@ -87,10 +87,18 @@ def test_full_pipeline(tmp_path):
     # ---- stage 2 (2 iterations, consumes the template) ------------------
     from umr_tpu.experiments import train_s2
 
-    cfg2 = _cfg(tmp, name="s2", use_scops=True, model_path=s1_pth)
+    cfg2 = _cfg(tmp, name="s2", use_scops=True, model_path=s1_pth,
+                display_visuals=True, display_freq=2)
     train_s2.run(cfg2, dataloader=_Loader())
     s2_pth = os.path.join(tmp, "snap", "s2", "pred_net_latest.pth")
     assert os.path.exists(s2_pth)
+    # the s2 part panels landed (ref: train_s2.py:318-385) — rendered +
+    # GT part projections and the part-consistency marker overlay
+    s2_vis = os.path.join(tmp, "vis", "s2")
+    for f in ("part_render_0.png", "part_render_3.png",
+              "gt_part_render_0.png", "part_cons_vis.png",
+              "image_pred.png", "uv_images.png", "mask_pred.png"):
+        assert os.path.exists(os.path.join(s2_vis, f)), f
 
     # ---- evals against the s2 checkpoint ---------------------------------
     from umr_tpu.experiments import test_iou as tiou

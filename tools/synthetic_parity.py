@@ -111,6 +111,14 @@ def main():
     summary = {"train_n": args.train_n, "test_n": args.test_n,
                "image_size": S}
 
+    def save_summary():
+        """Stage-wise durability (VERDICT r3 #7): a killed run leaves a
+        partial summary rather than losing the round's artifact."""
+        with open(osp.join(out, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+
+    save_summary()
+
     # ---- stage 1 ---------------------------------------------------------
     from umr_tpu.experiments import train_s1
 
@@ -126,6 +134,7 @@ def main():
         train_s1.run(cfg1, dataloader=loader1)
     summary["s1_wall_s"] = round(time.perf_counter() - t0, 1)
     assert osp.exists(s1_pth), s1_pth
+    save_summary()
 
     # ---- avg_uv ----------------------------------------------------------
     from umr_tpu.experiments import avg_uv
@@ -140,6 +149,14 @@ def main():
                                    use_scops=True)
         avg_uv.run(cfg_uv, dataloader=loader_uv)
     summary["avg_uv_wall_s"] = round(time.perf_counter() - t0, 1)
+    # the semantic-consistency losses are only live if every part has
+    # template vertices (round-3 post-mortem: empty head/belly silently
+    # zeroed corr_loss for the whole s2 run)
+    summary["part_vertex_counts"] = {
+        p: int(np.load(osp.join(stemp, f"{p}_vertices.npy")).size)
+        for p in ("head", "neck", "back", "belly")
+    }
+    save_summary()
 
     # ---- stage 2 ---------------------------------------------------------
     from umr_tpu.experiments import train_s2
@@ -160,6 +177,25 @@ def main():
         train_s2.run(cfg2, dataloader=loader2)
     summary["s2_wall_s"] = round(time.perf_counter() - t0, 1)
     assert osp.exists(s2_pth), s2_pth
+    # semantic-consistency liveliness: median corr_loss over the last 20
+    # logged steps must be nonzero for the curriculum to have exercised
+    # its titular objective (ref loss_utils.py:194-248)
+    corr_vals = []
+    log_path = osp.join(out, "snap", "s2", "loss_log.txt")
+    if osp.exists(log_path):
+        import re
+
+        with open(log_path) as f:
+            for line in f:
+                m = re.search(r"corr_loss: ([0-9.eE+-]+)", line)
+                if m:
+                    corr_vals.append(float(m.group(1)))
+    if corr_vals:
+        summary["s2_corr_loss_last20_median"] = round(
+            float(np.median(corr_vals[-20:])), 4)
+        summary["s2_corr_loss_live"] = bool(
+            np.median(corr_vals[-20:]) > 0.0)
+    save_summary()
 
     # ---- eval: held-out mask IoU ----------------------------------------
     from umr_tpu.experiments import test_iou
@@ -173,6 +209,7 @@ def main():
     # area prior; any real reconstructor must beat it by a wide margin
     summary["test_iou"] = round(float(iou), 4)
     summary["iou_area_prior"] = round(float(test["mask"].mean()), 4)
+    save_summary()
 
     # ---- eval: kp transfer ----------------------------------------------
     from umr_tpu.experiments import test_kp
@@ -197,14 +234,14 @@ def main():
         summary[f"pck_{mode}_0.1"] = round(pck1, 4)
         summary[f"pck_{mode}_0.15"] = round(pck15, 4)
         summary[f"kp_{mode}_wall_s"] = round(time.perf_counter() - t0, 1)
+        save_summary()
 
     summary["iou_ok"] = bool(summary["test_iou"] >= 0.7)
     summary["pck_ok"] = bool(
         summary["pck_flow_0.1"] > id1 or summary["pck_cam_0.1"] > id1
     )
     print(json.dumps(summary))
-    with open(osp.join(out, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=1)
+    save_summary()
 
 
 if __name__ == "__main__":

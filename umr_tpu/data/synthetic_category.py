@@ -116,21 +116,46 @@ def base_texture(sphere_verts, faces, tex_size):
     return np.repeat(col[:, None, :], T2, axis=1)
 
 
-def sample_camera(rng):
-    """GT 7-vec [scale, tx, ty, quat]: side-ish views about the symmetry
-    axis (y), small elevation about x (host numpy Hamilton product)."""
-    az = np.deg2rad(rng.uniform(40.0, 140.0))
-    el = np.deg2rad(rng.uniform(-20.0, 20.0))
-    qy = np.array([np.cos(az / 2), 0.0, np.sin(az / 2), 0.0])
-    qx = np.array([np.cos(el / 2), np.sin(el / 2), 0.0, 0.0])
-    w1, x1, y1, z1 = qx
-    w2, x2, y2, z2 = qy
-    q = np.array([
+def _hamilton(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array([
         w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
         w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
         w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
         w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
     ])
+
+
+def _axis_quat(axis, angle):
+    u = np.zeros(3)
+    u["xyz".index(axis)] = 1.0
+    return np.concatenate([[np.cos(angle / 2)], np.sin(angle / 2) * u])
+
+
+# Base orientation placing the bird SIDE-ON to the camera: the camera
+# sees the -z_cam hemisphere (eye at -z), so map the bird's left flank
+# (+y_obj, the symmetry axis) toward -z_cam, body axis z_obj -> +x_cam
+# (horizontal in the image) and up axis x_obj -> -y_cam (up in the
+# DISPLAYED image: the renderer's y-flip and the rasterizer's row-0
+# convention cancel, so displayed-up is -y in project_points coords).
+# q0 = Rz(-90) o Rx(-90). Round 3's cameras instead orbited about
+# y_obj, which at az~90 turned the bird's BACK (x_obj) toward the
+# camera and kept the belly permanently occluded in every view — the
+# root cause of the empty-belly semantic template (VERDICT r3 #2a).
+_Q_SIDE = _hamilton(_axis_quat("z", -np.pi / 2), _axis_quat("x", -np.pi / 2))
+
+
+def sample_camera(rng):
+    """GT 7-vec [scale, tx, ty, quat]: side views orbiting the bird's UP
+    axis (x_obj) by az in [40, 140] deg (90 = exactly side-on), with
+    +-20 deg elevation about the camera x axis — like CUB photographs,
+    with head, back, AND belly all visible."""
+    az = np.deg2rad(rng.uniform(40.0, 140.0))
+    el = np.deg2rad(rng.uniform(-20.0, 20.0))
+    q_spin = _axis_quat("x", az - np.pi / 2)   # about the bird's up axis
+    q_el = _axis_quat("x", el)                 # about the camera's x axis
+    q = _hamilton(q_el, _hamilton(_Q_SIDE, q_spin))
     s = rng.uniform(0.62, 0.82)
     t = rng.uniform(-0.12, 0.12, size=2)
     return np.concatenate([[s], t, q]).astype(np.float32)

@@ -169,17 +169,25 @@ def run(cfg: Config, dataloader=None):
 
     imageio.imwrite(osp.join(cfg.out_dir, "semantic_seg.png"), seg)
 
-    # ---- vertex labels from the UV label map (ref: avg_uv.py:254-305) --
+    # ---- vertex labels from the UV label map (ref: avg_uv.py:255-268) --
+    # The reference samples the 5-CHANNEL prob map (semantic_prob.npy)
+    # at the uv_sampler and argmaxes per texel (ref avg_uv.py:256-264:
+    # `uv_label = np.load(uv_path)` -> grid_sample -> argmax(dim=-1)).
+    # Rounding a bilinearly-sampled INTEGER label map instead (a bug in
+    # rounds 1-3 of this rebuild) manufactures labels at part borders —
+    # blending head(1) with back(3) yields neck(2) — and collapsed the
+    # round-3 template to 153 neck / 489 back with empty head/belly.
     uv_sampler = jnp.asarray(template.uv_sampler)
     Ft, T = uv_sampler.shape[0], uv_sampler.shape[1]
-    seg_f = jnp.asarray(seg.astype(np.float32))[None, :, :, None]
+    prob_f = jnp.asarray(avg_prob, jnp.float32)[None]  # [1,H,W,5]
     tex_seg = grid_sample(
-        seg_f, uv_sampler.reshape(1, Ft * T * T, 2)
-    ).reshape(1, Ft, T * T)
+        prob_f, uv_sampler.reshape(1, Ft * T * T, 2)
+    ).reshape(1, Ft, T * T, -1)
     tex_seg = jnp.concatenate(
         [tex_seg, tex_seg[:, -template.num_sym_faces:]], axis=1
     )[0]
-    face_label = _most_freq(np.asarray(jnp.round(tex_seg)).astype(int))
+    texel_label = np.asarray(jnp.argmax(tex_seg, axis=-1))  # [F, T*T]
+    face_label = _most_freq(texel_label)
 
     V = template.num_verts
     vert_label = np.zeros(V, int)
@@ -191,6 +199,27 @@ def run(cfg: Config, dataloader=None):
     parts = [np.where(vert_label == p)[0] for p in range(1, cfg.num_parts + 1)]
     for name, p in zip(("head", "neck", "back", "belly"), parts):
         np.save(osp.join(cfg.out_dir, f"{name}_vertices.npy"), p)
+    counts = {n: len(p) for n, p in zip(("head", "neck", "back", "belly"),
+                                        parts)}
+    print(green(f"semantic template part vertex counts: {counts}"))
+    empty = [n for n, c in counts.items() if c == 0]
+    if empty:
+        # corr-chamfer weights sit entirely on head/belly (ref
+        # loss_utils.py:214) and part-matching weights on the
+        # head/belly channels (ref loss_utils.py:373): an empty set
+        # silently kills the semantic-consistency objective downstream
+        # (this is exactly what happened, unnoticed, in round 3)
+        import warnings
+
+        from ..utils.visualizer import red
+
+        msg = (f"avg_uv produced EMPTY part vertex sets: {empty} "
+               f"(counts {counts}). The corr-chamfer and part-matching "
+               "losses will be degenerate in train_s2. Check the SCOPS "
+               "part maps, the s1 exemplar quality, and the uv part "
+               "averaging before training stage 2.")
+        warnings.warn(msg)
+        print(red("WARNING: " + msg))
 
     import torch
 

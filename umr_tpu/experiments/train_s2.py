@@ -55,6 +55,25 @@ def load_semantic_template(cfg: Config, template):
         np.load(osp.join(idx_dir, f"{p}_vertices.npy")).astype(np.int64)
         for p in ("head", "belly", "neck", "back")
     ]
+    counts = dict(zip(("head", "belly", "neck", "back"),
+                      (len(i) for i in part_vert_idx)))
+    print(f"semantic template part vertex counts: {counts}")
+    # refuse silently-degenerate semantics: corr-chamfer weights live
+    # entirely on head/belly (ref loss_utils.py:214) — with either set
+    # empty, corr_loss is identically 0 for the whole run (round-3
+    # post-mortem). Warn loudly instead of erroring so a deliberate
+    # no-semantics run can still proceed and record its failure.
+    if counts["head"] == 0 or counts["belly"] == 0:
+        import warnings
+
+        from ..utils.visualizer import red
+
+        msg = (f"semantic template has EMPTY head/belly vertex sets "
+               f"({counts}): corr_loss will be identically zero and "
+               "part_matching near-dead. Re-run avg_uv with a better s1 "
+               "checkpoint / part maps.")
+        warnings.warn(msg)
+        print(red("WARNING: " + msg))
     return mean_v, seg, part_vert_idx
 
 
@@ -114,7 +133,8 @@ def run(cfg: Config, dataloader=None):
         directional_intensity=0.4, light_direction=(0.0, 1.0, -1.0),
     )
     visuals_fn = make_visuals_fn(
-        cfg, template, model, vis_renderer, jnp.asarray(template.faces)
+        cfg, template, model, vis_renderer, jnp.asarray(template.faces),
+        part_loss=part_loss, part_vert_idx=part_vert_idx,
     ) if cfg.display_visuals else None
 
     trainer = Trainer(cfg, step_fn, state, dataloader, visuals_fn=visuals_fn)
