@@ -119,8 +119,9 @@ class Trainer:
         visualizer = Visualizer(cfg)
         rng = jax.random.key(cfg.seed)
         total_steps = int(jax.device_get(self.state.step))  # 0 or resumed
+        dispatched = total_steps
         smoothed = 0.0
-        iter_time = 0.0
+        self._pending = None  # (scalars, start, epoch, epoch_iter, batch)
         if cfg.num_iter and total_steps >= cfg.num_iter:
             # auto-resumed at/past the target: the run is already done —
             # don't train through num_epochs and overwrite the finished
@@ -169,46 +170,77 @@ class Trainer:
                 self.state, scalars = self.step_fn(
                     self.state, db, step_key, *self.extra_step_args(epoch)
                 )
-                total = float(scalars["total_loss"])  # sync point
-                iter_time = time.time() - start
-                smoothed = smoothed * 0.99 + 0.01 * total
-
-                total_steps += 1
+                dispatched += 1
+                # One-step-lagged scalar drain: reading total_loss here
+                # would force the step to COMPLETE before the next host
+                # batch prep starts, serializing host prep + transfer
+                # with device compute. Draining the PREVIOUS step's
+                # scalars after this step is enqueued lets XLA overlap
+                # them — the logged values are identical, one step late.
+                total_steps, smoothed = self._drain(
+                    total_steps, smoothed, visualizer)
+                self._pending = (scalars, start, epoch, epoch_iter, db)
                 epoch_iter += 1
 
-                if cfg.print_scalars and total_steps % cfg.print_freq == 0:
-                    sc = {
-                        "smoothed_total_loss": smoothed,
-                        **{k: float(v) for k, v in scalars.items()},
-                        "iter_time": iter_time,
-                    }
-                    visualizer.print_current_scalars(epoch, epoch_iter, sc)
-
-                if (cfg.display_visuals and self.visuals_fn is not None
-                        and total_steps % cfg.display_freq == 0):
-                    from .visuals import save_visuals
-
-                    save_visuals(self.visuals_fn(self.state, db),
-                                 self.vis_out)
-                    print(green(f"Visualization saved at {self.vis_out}."))
-
-                if total_steps % cfg.save_latest_freq == 0:
-                    print(green(
-                        f"saving the model at epoch {epoch}, "
-                        f"iters {total_steps}"
-                    ))
-                    self.save("latest")
-
-                if cfg.num_iter and total_steps >= cfg.num_iter:
+                if cfg.num_iter and dispatched >= cfg.num_iter:
+                    total_steps, smoothed = self._drain(
+                        total_steps, smoothed, visualizer)
                     self.save("latest")
                     return self.state
 
             if self.on_epoch_end is not None:
+                # drain first: on_epoch_end may mutate state (s1 template
+                # update) and deserves a synced device
+                total_steps, smoothed = self._drain(
+                    total_steps, smoothed, visualizer)
                 self.state = self.on_epoch_end(self.state, epoch) or self.state
 
             if (epoch + 1) % cfg.save_epoch_freq == 0:
+                total_steps, smoothed = self._drain(
+                    total_steps, smoothed, visualizer)
                 self.save("latest")
                 self.save(epoch + 1)
 
+        total_steps, smoothed = self._drain(total_steps, smoothed,
+                                            visualizer)
         self.save("latest")
         return self.state
+
+    def _drain(self, total_steps, smoothed, visualizer):
+        """Read back the pending step's scalars and run the print /
+        visuals / save cadences for it. iter_time is measured dispatch-to-
+        drain, i.e. the true per-step cycle cost including the host work
+        it overlaps (the reference's iter_time is the same full-cycle
+        wall, ref train_s2.py:425-444)."""
+        if self._pending is None:
+            return total_steps, smoothed
+        cfg = self.cfg
+        scalars, start, epoch, epoch_iter, db = self._pending
+        self._pending = None
+        total = float(scalars["total_loss"])  # sync point
+        iter_time = time.time() - start
+        smoothed = smoothed * 0.99 + 0.01 * total
+        total_steps += 1
+
+        if cfg.print_scalars and total_steps % cfg.print_freq == 0:
+            sc = {
+                "smoothed_total_loss": smoothed,
+                **{k: float(v) for k, v in scalars.items()},
+                "iter_time": iter_time,
+            }
+            visualizer.print_current_scalars(epoch, epoch_iter + 1, sc)
+
+        if (cfg.display_visuals and self.visuals_fn is not None
+                and total_steps % cfg.display_freq == 0):
+            from .visuals import save_visuals
+
+            save_visuals(self.visuals_fn(self.state, db), self.vis_out)
+            print(green(f"Visualization saved at {self.vis_out}."))
+
+        if total_steps % cfg.save_latest_freq == 0:
+            print(green(
+                f"saving the model at epoch {epoch}, "
+                f"iters {total_steps}"
+            ))
+            self.save("latest")
+        return total_steps, smoothed
