@@ -53,6 +53,23 @@ def test_part_prob_partitions_mask(data):
         assert d["part_prob"][..., ch].max() > 0.3, ch
 
 
+def test_all_parts_substantially_visible(data):
+    """Every part must hold a real share of the rendered foreground
+    ACROSS the camera distribution — round 3's cameras orbited the wrong
+    axis and left the belly permanently occluded (<2% of fg), which
+    collapsed the semantic template and silently killed corr_loss.
+    Side-view cameras make head/neck/back/belly all visible."""
+    d, _ = data
+    fg = d["mask"] > 0.5
+    tot = max(fg.sum(), 1.0)
+    shares = {
+        ch: float((d["part_prob"][..., ch] * fg).sum() / tot)
+        for ch in range(1, 5)
+    }
+    for ch, share in shares.items():
+        assert share > 0.04, (ch, shares)
+
+
 def test_kps_project_inside_mask(data):
     """GT kps are project_points outputs; they must land on/near the
     rendered silhouette (validates the y-convention reasoning, see
