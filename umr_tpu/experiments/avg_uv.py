@@ -169,32 +169,8 @@ def run(cfg: Config, dataloader=None):
 
     imageio.imwrite(osp.join(cfg.out_dir, "semantic_seg.png"), seg)
 
-    # ---- vertex labels from the UV label map (ref: avg_uv.py:255-268) --
-    # The reference samples the 5-CHANNEL prob map (semantic_prob.npy)
-    # at the uv_sampler and argmaxes per texel (ref avg_uv.py:256-264:
-    # `uv_label = np.load(uv_path)` -> grid_sample -> argmax(dim=-1)).
-    # Rounding a bilinearly-sampled INTEGER label map instead (a bug in
-    # rounds 1-3 of this rebuild) manufactures labels at part borders —
-    # blending head(1) with back(3) yields neck(2) — and collapsed the
-    # round-3 template to 153 neck / 489 back with empty head/belly.
-    uv_sampler = jnp.asarray(template.uv_sampler)
-    Ft, T = uv_sampler.shape[0], uv_sampler.shape[1]
-    prob_f = jnp.asarray(avg_prob, jnp.float32)[None]  # [1,H,W,5]
-    tex_seg = grid_sample(
-        prob_f, uv_sampler.reshape(1, Ft * T * T, 2)
-    ).reshape(1, Ft, T * T, -1)
-    tex_seg = jnp.concatenate(
-        [tex_seg, tex_seg[:, -template.num_sym_faces:]], axis=1
-    )[0]
-    texel_label = np.asarray(jnp.argmax(tex_seg, axis=-1))  # [F, T*T]
-    face_label = _most_freq(texel_label)
-
-    V = template.num_verts
-    vert_label = np.zeros(V, int)
+    face_label, vert_label = derive_vertex_labels(avg_prob, template)
     faces_np = template.faces
-    for v in range(V):
-        fids = np.where((faces_np == v).any(axis=1))[0]
-        vert_label[v] = _most_freq(face_label[fids][None])[0]
 
     parts = [np.where(vert_label == p)[0] for p in range(1, cfg.num_parts + 1)]
     for name, p in zip(("head", "neck", "back", "belly"), parts):
@@ -229,6 +205,8 @@ def run(cfg: Config, dataloader=None):
     )
 
     # visualization meshes
+    uv_sampler = jnp.asarray(template.uv_sampler)
+    Ft, T = uv_sampler.shape[0], uv_sampler.shape[1]
     cmap = image_utils.color_map(cfg.num_parts + 1, normalized=True)
     mean_v_full = np.asarray(mean_shape)
     seg_color = image_utils.colorize(seg, cfg.num_parts + 1) / 255.0
@@ -249,6 +227,40 @@ def run(cfg: Config, dataloader=None):
     )
     print(green(f"Semantic template saved at {cfg.out_dir}."))
     return cfg.out_dir
+
+
+def derive_vertex_labels(avg_prob, template):
+    """UV prob map -> (face_label [F], vert_label [V]) part ids 0..4.
+
+    Samples the 5-CHANNEL prob map at the uv_sampler and argmaxes per
+    texel, exactly like the reference (ref avg_uv.py:256-264:
+    `uv_label = np.load(uv_path)` -> grid_sample -> argmax(dim=-1)),
+    then face label = most-frequent texel label and vertex label =
+    most-frequent label of the incident faces (ref avg_uv.py:268-288).
+    Rounding a bilinearly-sampled INTEGER label map instead (a bug in
+    rounds 1-3 of this rebuild) manufactures labels at part borders —
+    blending head(1) with back(3) yields neck(2) — and collapsed the
+    round-3 template to 153 neck / 489 back with empty head/belly.
+    """
+    uv_sampler = jnp.asarray(template.uv_sampler)
+    Ft, T = uv_sampler.shape[0], uv_sampler.shape[1]
+    prob_f = jnp.asarray(avg_prob, jnp.float32)[None]  # [1,H,W,5]
+    tex_seg = grid_sample(
+        prob_f, uv_sampler.reshape(1, Ft * T * T, 2)
+    ).reshape(1, Ft, T * T, -1)
+    tex_seg = jnp.concatenate(
+        [tex_seg, tex_seg[:, -template.num_sym_faces:]], axis=1
+    )[0]
+    texel_label = np.asarray(jnp.argmax(tex_seg, axis=-1))  # [F, T*T]
+    face_label = _most_freq(texel_label)
+
+    V = template.num_verts
+    vert_label = np.zeros(V, int)
+    faces_np = template.faces
+    for v in range(V):
+        fids = np.where((faces_np == v).any(axis=1))[0]
+        vert_label[v] = _most_freq(face_label[fids][None])[0]
+    return face_label, vert_label
 
 
 def _most_freq(arr):
