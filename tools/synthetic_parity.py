@@ -119,44 +119,55 @@ def main():
 
     save_summary()
 
-    # ---- stage 1 ---------------------------------------------------------
-    from umr_tpu.experiments import train_s1
+    # ---- stage 1 + avg_uv, with a dead-template retry ---------------------
+    # A weak s1 texture flow (UV pixels all sampling near the image
+    # center) collapses the averaged UV part map to one part and empties
+    # head/belly — killing the semantic losses downstream. If that
+    # happens, extend s1 (the trainer auto-resumes into the raised
+    # num_iter) and rebuild the template once before accepting.
+    from umr_tpu.experiments import avg_uv, train_s1
 
-    cfg1 = Config(**common, name="s1", use_scops=False,
-                  mask_loss_wt=3.0, flatten_reg_wt=0.0004,
-                  deform_reg_wt=5.0, tex_cycle_loss_wt=0.5,
-                  num_iter=args.s1_iters)
     s1_pth = osp.join(out, "snap", "s1", "pred_net_latest.pth")
-    t0 = time.perf_counter()
-    if not args.skip_train:
-        loader1 = CategoryLoader(train, args.batch, seed=10,
-                                 use_scops=False)
-        train_s1.run(cfg1, dataloader=loader1)
-    summary["s1_wall_s"] = round(time.perf_counter() - t0, 1)
-    assert osp.exists(s1_pth), s1_pth
-    save_summary()
-
-    # ---- avg_uv ----------------------------------------------------------
-    from umr_tpu.experiments import avg_uv
-
     stemp = osp.join(out, "stemp")
-    cfg_uv = Config(**common, name="uv", use_scops=True,
-                    model_path=s1_pth, out_dir=stemp)
-    t0 = time.perf_counter()
-    if not (args.skip_train and osp.exists(osp.join(stemp,
-                                                    "semantic_seg.png"))):
-        loader_uv = CategoryLoader(train, args.batch, shuffle=False,
-                                   use_scops=True)
-        avg_uv.run(cfg_uv, dataloader=loader_uv)
-    summary["avg_uv_wall_s"] = round(time.perf_counter() - t0, 1)
-    # the semantic-consistency losses are only live if every part has
-    # template vertices (round-3 post-mortem: empty head/belly silently
-    # zeroed corr_loss for the whole s2 run)
-    summary["part_vertex_counts"] = {
-        p: int(np.load(osp.join(stemp, f"{p}_vertices.npy")).size)
-        for p in ("head", "neck", "back", "belly")
-    }
-    save_summary()
+    summary["s1_wall_s"] = summary["avg_uv_wall_s"] = 0.0
+    for attempt in range(2):
+        s1_iters = args.s1_iters * (attempt + 1)
+        cfg1 = Config(**common, name="s1", use_scops=False,
+                      mask_loss_wt=3.0, flatten_reg_wt=0.0004,
+                      deform_reg_wt=5.0, tex_cycle_loss_wt=0.5,
+                      num_iter=s1_iters)
+        t0 = time.perf_counter()
+        if not args.skip_train:
+            loader1 = CategoryLoader(train, args.batch, seed=10,
+                                     use_scops=False)
+            train_s1.run(cfg1, dataloader=loader1)
+        summary["s1_wall_s"] += round(time.perf_counter() - t0, 1)
+        assert osp.exists(s1_pth), s1_pth
+        save_summary()
+
+        cfg_uv = Config(**common, name="uv", use_scops=True,
+                        model_path=s1_pth, out_dir=stemp)
+        t0 = time.perf_counter()
+        if not (args.skip_train and osp.exists(osp.join(
+                stemp, "semantic_seg.png"))):
+            loader_uv = CategoryLoader(train, args.batch, shuffle=False,
+                                       use_scops=True)
+            avg_uv.run(cfg_uv, dataloader=loader_uv)
+        summary["avg_uv_wall_s"] += round(time.perf_counter() - t0, 1)
+        # the semantic-consistency losses are only live if every part
+        # has template vertices (round-3 post-mortem: empty head/belly
+        # silently zeroed corr_loss for the whole s2 run)
+        summary["part_vertex_counts"] = {
+            p: int(np.load(osp.join(stemp, f"{p}_vertices.npy")).size)
+            for p in ("head", "neck", "back", "belly")
+        }
+        summary["s1_iters_used"] = s1_iters
+        save_summary()
+        pvc = summary["part_vertex_counts"]
+        if (pvc["head"] and pvc["belly"]) or args.skip_train:
+            break
+        print(f"dead semantic template {pvc}; extending s1 to "
+              f"{args.s1_iters * (attempt + 2)} iters and retrying avg_uv")
 
     # ---- stage 2 ---------------------------------------------------------
     from umr_tpu.experiments import train_s2
