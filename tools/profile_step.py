@@ -26,7 +26,14 @@ from umr_tpu.ops.quaternion import rotate_cam
 from umr_tpu.renderer import SoftRenderer
 from umr_tpu.training.steps import _renderers, build_s2_step
 
-BATCH, S = 16, 256
+import os
+
+BATCH = int(os.environ.get("UMR_PROFILE_BATCH", 16))
+S = int(os.environ.get("UMR_PROFILE_SIZE", 256))
+SUBDIV = int(os.environ.get("UMR_PROFILE_SUBDIV", 3))
+TEX = int(os.environ.get("UMR_PROFILE_TEX", 6))
+HYPO = int(os.environ.get("UMR_PROFILE_HYPO", 8))
+AA = os.environ.get("UMR_PROFILE_AA", "1") == "1"
 stop = jax.lax.stop_gradient
 
 
@@ -44,8 +51,8 @@ def timeit(name, fn, *args, iters=4):
 
 def main():
     cfg = Config(image_size=S, img_size=S, batch_size=BATCH,
-                 num_hypo_cams=8, anti_aliasing=True, subdivide=3,
-                 tex_size=6)
+                 num_hypo_cams=HYPO, anti_aliasing=AA, subdivide=SUBDIV,
+                 tex_size=TEX)
     template = build_template(cfg.subdivide, cfg.axis, cfg.tex_size)
     rng = np.random.RandomState(0)
     seg = rng.randint(0, 5, size=(128, 256)).astype(np.float32)
@@ -159,6 +166,28 @@ def main():
         return g
     timeit("discriminator fwd+bwd (B)",
            jax.jit(jax.grad(dsc)), state.params["disc"])
+
+    # optimizer update alone (Adam + 1/(1+5e-4 it) decay on all params)
+    import optax
+
+    from umr_tpu.training.steps import make_optimizer
+    tx = make_optimizer(cfg)
+    grads = jax.tree.map(jnp.zeros_like, state.params)
+
+    def opt(p, o, g):
+        updates, o2 = tx.update(g, o, p)
+        return optax.apply_updates(p, updates), o2
+    timeit("optimizer update", jax.jit(opt),
+           state.params, state.opt_state, grads)
+
+    # host->device batch transfer (what the lagged-drain trainer overlaps)
+    hb = synthetic_batch(rng, BATCH, S)
+
+    def put():
+        db = jax.tree.map(jnp.asarray, hb)
+        jax.block_until_ready(db)
+        return db
+    timeit("host->device batch transfer", put)
 
 
 if __name__ == "__main__":
