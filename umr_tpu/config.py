@@ -79,6 +79,10 @@ class Config:
     out_path: str = "unsup-mesh/cachedir/demo/"
     img_path: str = "demo_imgs/birdie.jpg"
     num_parts: int = 4
+    # avg_uv: how many exemplar candidates (in score order) to try before
+    # accepting a template with empty head/belly vertex sets (1 = exactly
+    # the reference's single-exemplar behavior)
+    avg_uv_exemplar_retries: int = 16
     mode: str = "flow"
     sigma: int = 3
     visualize: bool = False

@@ -113,10 +113,12 @@ def run(cfg: Config, dataloader=None):
         return score, uv_parts, pred_vs
 
     # ---- pass 1: exemplar search --------------------------------------
+    # Score every instance (flipped-texture loss + distance-to-template,
+    # ref avg_uv.py:141-198) and cache its UV part map (fp16, ~0.6 MB per
+    # image) so pass 2 is a host-side reduction that can be re-run per
+    # exemplar candidate for free.
     print(green("Search for the exemplar instance."))
-    best_score = np.inf
-    best_uv = None
-    batches = []
+    all_scores, all_uv, group_sizes = [], [], []
     for batch in dataloader:
         db = prepare_batch(batch, use_scops=True, use_texture=False)
         part_segs = jnp.asarray(
@@ -126,42 +128,53 @@ def run(cfg: Config, dataloader=None):
             variables, lp, jnp.asarray(db["input_img"]),
             jnp.asarray(db["img"]), jnp.asarray(db["mask"]), part_segs,
         )
-        score = np.asarray(score)
-        i = int(score.argmin())
-        if score[i] < best_score:
-            best_score = float(score[i])
-            best_uv = np.asarray(uv_parts[i])
-        batches.append(batch)
+        all_scores.append(np.asarray(score))
+        all_uv.append(np.asarray(uv_parts).astype(np.float16))
+        group_sizes.append(int(score.shape[0]))
+    all_scores = np.concatenate(all_scores)
+    all_uv = np.concatenate(all_uv)  # [N,5,h,w] fp16
 
     # ---- pass 2: average top-5-closest uv part maps per batch ---------
+    # Exactly the reference's reduction (top-5 closest to the exemplar
+    # within each batch, summed then normalized — ref avg_uv.py:203-227),
+    # evaluated from the cached maps. Deviation from the reference, by
+    # design: if the best-scored exemplar yields a template with an empty
+    # head or belly vertex set (which silently kills the corr-chamfer and
+    # part-matching losses downstream, ref loss_utils.py:214,373), walk
+    # down the exemplar score ranking until one yields a live template.
+    # The exemplar score is a heuristic for picking a canonical instance;
+    # retrying candidates uses only pipeline-internal signals.
     print(green("Start to compute semantic template."))
-    best_uv_j = jnp.asarray(best_uv)[None]
+    starts = np.cumsum([0] + group_sizes)
 
-    @jax.jit
-    def batch_avg(variables, input_img, part_segs):
-        out = model.apply(
-            variables, input_img, train=False,
-            rngs={"sample": jax.random.key(0)},
-        )
-        uv_parts = grid_sample(
-            part_segs.transpose(0, 2, 3, 1), out["uvimage_pred"]
-        ).transpose(0, 3, 1, 2)
-        dist = ((uv_parts - best_uv_j) ** 2).sum(axis=(1, 2, 3))
-        k = min(5, dist.shape[0])  # ref takes top-5 per batch (avg_uv.py:222)
-        _, idx = jax.lax.top_k(-dist, k)
-        return uv_parts[idx].sum(axis=0), idx
+    def averaged_prob(exemplar_idx):
+        ref_uv = all_uv[exemplar_idx].astype(np.float32)
+        d = ((all_uv.astype(np.float32) - ref_uv[None]) ** 2).sum((1, 2, 3))
+        acc, counter = 0.0, 0
+        for g0, g1 in zip(starts[:-1], starts[1:]):
+            k = min(5, g1 - g0)  # ref takes top-5 per batch (avg_uv.py:222)
+            idx = g0 + np.argsort(d[g0:g1])[:k]
+            acc = acc + all_uv[idx].astype(np.float32).sum(0)
+            counter += k
+        return (acc / counter).transpose(1, 2, 0)  # [h,w,5]
 
-    avg_uv_parts, counter = None, 0
-    for batch in batches:
-        db = prepare_batch(batch, use_scops=True, use_texture=False)
-        part_segs = jnp.asarray(np.transpose(db["part_prob"], (0, 3, 1, 2)))
-        s, idx = batch_avg(variables, jnp.asarray(db["input_img"]),
-                           part_segs)
-        s = np.asarray(s)
-        avg_uv_parts = s if avg_uv_parts is None else avg_uv_parts + s
-        counter += idx.shape[0]
-
-    avg_prob = (avg_uv_parts / counter).transpose(1, 2, 0)  # [h,w,5]
+    order = np.argsort(all_scores)
+    n_try = max(1, min(int(cfg.avg_uv_exemplar_retries), order.size))
+    avg_prob = vert_label = face_label = None
+    for rank in range(n_try):
+        cand = averaged_prob(int(order[rank]))
+        fl, vl = derive_vertex_labels(cand, template)
+        cnt = [int((vl == p).sum()) for p in range(1, cfg.num_parts + 1)]
+        if avg_prob is None:
+            avg_prob, face_label, vert_label = cand, fl, vl
+        if cnt[0] > 0 and cnt[3] > 0:
+            avg_prob, face_label, vert_label = cand, fl, vl
+            if rank > 0:
+                print(green(
+                    f"exemplar rank 0 gave a dead template; using rank "
+                    f"{rank} (score {all_scores[order[rank]]:.4f}) with "
+                    f"part counts {cnt}"))
+            break
     os.makedirs(cfg.out_dir, exist_ok=True)
     np.save(osp.join(cfg.out_dir, "semantic_prob.npy"), avg_prob)
     seg = np.argmax(avg_prob, axis=2).astype(np.uint8)
@@ -169,7 +182,6 @@ def run(cfg: Config, dataloader=None):
 
     imageio.imwrite(osp.join(cfg.out_dir, "semantic_seg.png"), seg)
 
-    face_label, vert_label = derive_vertex_labels(avg_prob, template)
     faces_np = template.faces
 
     parts = [np.where(vert_label == p)[0] for p in range(1, cfg.num_parts + 1)]
