@@ -77,6 +77,10 @@ def main():
     ap.add_argument("--s1_iters", type=int, default=600)
     ap.add_argument("--s2_iters", type=int, default=1500)
     ap.add_argument("--n_pairs", type=int, default=200)
+    ap.add_argument("--display_freq", type=int, default=200,
+                    help="training-visuals cadence; the first dump pays a "
+                    "multi-minute remote compile of the batch-4 vis render "
+                    "graphs, so time-boxed runs may want this very large")
     ap.add_argument("--skip_train", action="store_true",
                     help="evaluate existing checkpoints only")
     args = ap.parse_args()
@@ -105,7 +109,7 @@ def main():
         vis_dir=osp.join(out, "vis"),
         results_vis_dir=osp.join(out, "rvis"),
         num_epochs=100000, save_latest_freq=200, save_epoch_freq=100000,
-        print_freq=20, display_freq=200,
+        print_freq=20, display_freq=args.display_freq,
         stemp_path=osp.join(out, "stemp"),
     )
     summary = {"train_n": args.train_n, "test_n": args.test_n,
