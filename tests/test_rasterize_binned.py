@@ -104,3 +104,29 @@ def test_binned_gradients_match_dense(rng):
     np.testing.assert_allclose(
         np.asarray(gb_t), np.asarray(gd_t), atol=1e-3, rtol=5e-3
     )
+
+
+def test_auto_face_caps_cover_category_workload():
+    """The auto per-tile face caps (round 5) must cover the measured
+    occupancy of the category workload: binning_stats over side-view
+    cameras of the 1280-face bird measured 442 faces/tile at a 128-px
+    render and 86 at the production 512-px render. The old fixed default
+    (64) silently dropped fragments at BOTH sizes, hole-riddling small
+    renders (see tests/test_avg_uv_oracle.py and the data-generator
+    integrity guard in umr_tpu/data/synthetic_category.py)."""
+    from umr_tpu.renderer import SoftRenderer
+
+    F = 1280
+    r64 = SoftRenderer(image_size=64)     # render 128 (AA)
+    assert r64.resolved_mfpt(F) == F      # exact: mesh packs few tiles
+    assert r64.resolved_mf_cap(F) >= 448  # measured 442 + headroom
+    assert r64.resolved_mf_cap(F) % 32 == 0  # DMA_CH alignment
+
+    r256 = SoftRenderer(image_size=256)   # render 512 (production)
+    assert r256.resolved_mfpt(F) >= 129   # 1.5x measured 86
+    assert r256.resolved_mf_cap(F) >= 129
+
+    # explicit values are honored unchanged
+    r = SoftRenderer(image_size=64, max_faces_per_tile=16, pallas_mf_cap=96)
+    assert r.resolved_mfpt(F) == 16
+    assert r.resolved_mf_cap(F) == 96

@@ -4,8 +4,10 @@ Round 3's only full curriculum run had empty head/belly vertex sets, so the
 corr-chamfer loss (weights entirely on head/belly, ref loss_utils.py:214)
 was identically zero for 62 epochs and nothing warned. These tests pin the
 loud-warning guards at both ends of the handoff:
-  - experiments/train_s2.load_semantic_template warns when head or belly
-    is empty (and stays silent when all four sets are populated);
+  - experiments/train_s2.load_semantic_template REFUSES a template
+    failing the liveliness bar (every part >= part_min_vert_frac of the
+    verts) unless --force_template, and stays silent when all four sets
+    pass the bar (tightened round 5, VERDICT r4 weak #1/#2);
   - experiments/avg_uv's derive-and-save path is covered by
     tests/test_avg_uv_labels.py; here we additionally pin that an empty
     part produced by derivation triggers avg_uv's warning block.
@@ -41,20 +43,32 @@ def _write_stemp(tmp_path, counts):
     return str(tmp_path)
 
 
-def test_empty_head_warns(tmp_path, template):
+def test_empty_head_refused(tmp_path, template):
+    """A bar-failing template is a hard stop (VERDICT r4 weak #2) ..."""
     stemp = _write_stemp(
         tmp_path, {"head": 0, "neck": 10, "back": 20, "belly": 5})
     cfg = Config(stemp_path=stemp)
-    with pytest.warns(UserWarning, match="EMPTY head/belly"):
+    with pytest.raises(ValueError, match="liveliness bar"):
+        load_semantic_template(cfg, template)
+
+
+def test_forced_template_warns_instead(tmp_path, template):
+    """... unless --force_template, which downgrades to a loud warning."""
+    stemp = _write_stemp(
+        tmp_path, {"head": 0, "neck": 10, "back": 20, "belly": 5})
+    cfg = Config(stemp_path=stemp, force_template=True)
+    with pytest.warns(UserWarning, match="liveliness bar"):
         _, _, idx = load_semantic_template(cfg, template)
     assert len(idx[0]) == 0  # head slot of (head, belly, neck, back)
 
 
-def test_empty_belly_warns(tmp_path, template):
+def test_starved_part_refused(tmp_path, template):
+    """All parts non-empty but one below the 2%-of-verts balance floor
+    (the round-4 22/0/0/620 shape, scaled) must also be refused."""
     stemp = _write_stemp(
-        tmp_path, {"head": 7, "neck": 10, "back": 20, "belly": 0})
+        tmp_path, {"head": 2, "neck": 1, "back": 1, "belly": 150})
     cfg = Config(stemp_path=stemp)
-    with pytest.warns(UserWarning, match="EMPTY head/belly"):
+    with pytest.raises(ValueError, match="liveliness bar"):
         load_semantic_template(cfg, template)
 
 

@@ -118,7 +118,7 @@ def main():
         fv = rend.project_faces(vs, jnp.asarray(template.faces), cams)
         return count_render_pairs(
             fv, rsz, rend.tile_size, rend.sigma_val, rend.dist_eps,
-            rend.pallas_mf_cap, rend.max_cover)
+            rend.resolved_mf_cap(fv.shape[1]), rend.max_cover)
 
     vs_rep = jnp.repeat(pred_vs, K, 0)
     p_hypo = pairs(vs_rep, cams_all.reshape(B * K, 7))    # fused, fwd+bwd

@@ -78,9 +78,10 @@ def main():
     ap.add_argument("--s2_iters", type=int, default=1500)
     ap.add_argument("--n_pairs", type=int, default=200)
     ap.add_argument("--display_freq", type=int, default=200,
-                    help="training-visuals cadence; the first dump pays a "
-                    "multi-minute remote compile of the batch-4 vis render "
-                    "graphs, so time-boxed runs may want this very large")
+                    help="training-visuals cadence; <=0 disables visuals "
+                    "entirely. The first dump pays a multi-minute remote "
+                    "compile of the batch-4 vis render graphs, so "
+                    "time-boxed runs may want 0 or very large")
     ap.add_argument("--skip_train", action="store_true",
                     help="evaluate existing checkpoints only")
     args = ap.parse_args()
@@ -125,16 +126,41 @@ def main():
 
     # ---- stage 1 + avg_uv, with a dead-template retry ---------------------
     # A weak s1 texture flow (UV pixels all sampling near the image
-    # center) collapses the averaged UV part map to one part and empties
-    # head/belly — killing the semantic losses downstream. If that
-    # happens, extend s1 (the trainer auto-resumes into the raised
-    # num_iter) and rebuild the template once before accepting.
+    # center) collapses the averaged UV part map — the root cause of the
+    # round-3/4 template collapses, isolated by the oracle-flow test
+    # (tests/test_avg_uv_oracle.py: machinery clean under a GT flow; a
+    # center-collapsed flow reproduces the dead template exactly). Two
+    # gates defend the handoff:
+    #   1. flow health BEFORE avg_uv: the uv_flow_area scalar (fraction
+    #      of a 16x16 image grid the flow samples) must clear
+    #      FLOW_AREA_BAR, else extend s1 first — this skips the
+    #      expensive avg_uv pass entirely when s1 is obviously unready;
+    #   2. the template liveliness bar AFTER avg_uv: all 4 parts >=
+    #      part_min_vert_frac of verts (the documented BASELINE bar).
     from umr_tpu.experiments import avg_uv, train_s1
 
+    FLOW_AREA_BAR = 0.10  # oracle flow ~0.2-0.4; collapsed flow <0.02
+
+    def last_scalar_median(log_path, key, k=20):
+        import re
+
+        vals = []
+        if osp.exists(log_path):
+            with open(log_path) as f:
+                for line in f:
+                    m = re.search(rf"{key}: ([0-9.eE+-]+)", line)
+                    if m:
+                        vals.append(float(m.group(1)))
+        return float(np.median(vals[-k:])) if vals else None
+
     s1_pth = osp.join(out, "snap", "s1", "pred_net_latest.pth")
+    s1_log = osp.join(out, "snap", "s1", "loss_log.txt")
     stemp = osp.join(out, "stemp")
     summary["s1_wall_s"] = summary["avg_uv_wall_s"] = 0.0
-    for attempt in range(2):
+    template_ok = False
+    min_cnt = max(1, int(np.ceil(0.02 * template.num_verts)))
+    max_attempts = 4
+    for attempt in range(max_attempts):
         s1_iters = args.s1_iters * (attempt + 1)
         cfg1 = Config(**common, name="s1", use_scops=False,
                       mask_loss_wt=3.0, flatten_reg_wt=0.0004,
@@ -147,7 +173,17 @@ def main():
             train_s1.run(cfg1, dataloader=loader1)
         summary["s1_wall_s"] += round(time.perf_counter() - t0, 1)
         assert osp.exists(s1_pth), s1_pth
+        flow_area = last_scalar_median(s1_log, "uv_flow_area")
+        summary["s1_uv_flow_area"] = flow_area
+        summary["s1_iters_used"] = s1_iters
         save_summary()
+        if (not args.skip_train and flow_area is not None
+                and flow_area < FLOW_AREA_BAR
+                and attempt < max_attempts - 1):
+            print(f"s1 flow health {flow_area:.3f} < {FLOW_AREA_BAR}; "
+                  f"extending s1 to {args.s1_iters * (attempt + 2)} "
+                  "iters before paying for avg_uv")
+            continue
 
         cfg_uv = Config(**common, name="uv", use_scops=True,
                         model_path=s1_pth, out_dir=stemp)
@@ -159,19 +195,33 @@ def main():
             avg_uv.run(cfg_uv, dataloader=loader_uv)
         summary["avg_uv_wall_s"] += round(time.perf_counter() - t0, 1)
         # the semantic-consistency losses are only live if every part
-        # has template vertices (round-3 post-mortem: empty head/belly
-        # silently zeroed corr_loss for the whole s2 run)
+        # clears the liveliness bar (round-3/4 post-mortems: collapsed
+        # templates silently zeroed corr_loss for entire s2 runs)
         summary["part_vertex_counts"] = {
             p: int(np.load(osp.join(stemp, f"{p}_vertices.npy")).size)
             for p in ("head", "neck", "back", "belly")
         }
-        summary["s1_iters_used"] = s1_iters
         save_summary()
         pvc = summary["part_vertex_counts"]
-        if (pvc["head"] and pvc["belly"]) or args.skip_train:
+        template_ok = all(c >= min_cnt for c in pvc.values())
+        summary["template_ok"] = template_ok
+        save_summary()
+        if template_ok or args.skip_train:
             break
-        print(f"dead semantic template {pvc}; extending s1 to "
-              f"{args.s1_iters * (attempt + 2)} iters and retrying avg_uv")
+        print(f"dead semantic template {pvc} (bar: all >= {min_cnt}); "
+              f"extending s1 to {args.s1_iters * (attempt + 2)} iters "
+              "and retrying avg_uv")
+
+    if not (template_ok or args.skip_train):
+        # record the failure honestly and stop: training s2 on a dead
+        # template wastes the round (train_s2 would refuse it anyway
+        # without --force_template)
+        summary["failed"] = "semantic template never cleared the bar"
+        save_summary()
+        print(json.dumps(summary))
+        raise SystemExit(
+            f"ABORT: {summary['failed']} after {max_attempts} attempts "
+            f"({summary.get('part_vertex_counts')})")
 
     # ---- stage 2 ---------------------------------------------------------
     from umr_tpu.experiments import train_s2

@@ -162,11 +162,15 @@ def sample_camera(rng):
 
 
 def generate_dataset(template, n, seed=0, image_size=256, batch=16,
-                     kp_seed=17):
+                     kp_seed=17, deform_amp=0.08):
     """Render n samples; returns a dict of stacked numpy arrays:
       img [n,S,S,3] f32 in [0,1], mask [n,S,S] f32,
       part_prob [n,S,S,5] f32, dts_barrier [n,S,S,1] f32,
       kp [n,15,3] f32 ([-1,1] image coords + visible flag), cam [n,7].
+
+    deform_amp=0 disables the per-sample shape deformation, making every
+    sample exactly base_bird(sphere) — the oracle-flow test relies on
+    this so a flow computed analytically from the base shape is exact.
     """
     import jax
     import jax.numpy as jnp
@@ -226,7 +230,8 @@ def generate_dataset(template, n, seed=0, image_size=256, batch=16,
     for start in range(0, n, batch):
         bs = min(batch, n - start)
         verts = np.stack([
-            base_v * sample_deform(sphere, rng) for _ in range(bs)
+            base_v * sample_deform(sphere, rng, amp=deform_amp)
+            for _ in range(bs)
         ])
         cams = np.stack([sample_camera(rng) for _ in range(bs)])
         tint = rng.uniform(0.75, 1.1, size=(bs, 1, 1, 3)).astype(np.float32)
@@ -242,6 +247,24 @@ def generate_dataset(template, n, seed=0, image_size=256, batch=16,
         ))
         rgba, pA, pB, kp2d = rgba[:bs], pA[:bs], pB[:bs], kp2d[:bs]
         mask = np.clip(rgba[..., 3], 0.0, 1.0)
+        # GT integrity: every surface vertex projects INSIDE the rendered
+        # silhouette under orthographic projection, so the soft mask
+        # sampled at the projections must be ~1 away from edges. A
+        # rasterizer dropping fragments (e.g. an undersized per-tile face
+        # cap — the round-5 finding that hole-riddled the CPU-generated
+        # data and collapsed the oracle UV template) fails this loudly
+        # instead of poisoning the dataset.
+        from ..ops.grid_sample import grid_sample as _gs
+
+        proj = img_renderer.project_points(
+            jnp.asarray(verts[:bs]), jnp.asarray(cams[:bs]))
+        m_at_v = np.asarray(_gs(jnp.asarray(mask[..., None]), proj))[..., 0]
+        frac = float((m_at_v > 0.5).mean())
+        if frac < 0.95:
+            raise RuntimeError(
+                f"rendered masks have holes: only {frac:.1%} of projected "
+                "GT vertices sample mask>0.5 — rasterizer fragment drop? "
+                "(check per-tile face caps / binning)")
         img = np.clip(rgba[..., :3], 0.0, 1.0)
         # composite on white like CUB-on-background (renderer bg is white
         # but soft edges blend): img already composited by the renderer

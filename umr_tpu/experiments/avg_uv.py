@@ -107,9 +107,9 @@ def run(cfg: Config, dataloader=None):
         scale = tex_loss.mean() / dist.mean()
         score = tex_loss + dist * scale
         # uv part maps: sample part probs at the predicted uv flow image
-        uv_parts = grid_sample(
+        uv_parts = uv_transfer(
             part_segs.transpose(0, 2, 3, 1), out["uvimage_pred"]
-        ).transpose(0, 3, 1, 2)  # [B,5,h,w]
+        )
         return score, uv_parts, pred_vs
 
     # ---- pass 1: exemplar search --------------------------------------
@@ -145,29 +145,28 @@ def run(cfg: Config, dataloader=None):
     # The exemplar score is a heuristic for picking a canonical instance;
     # retrying candidates uses only pipeline-internal signals.
     print(green("Start to compute semantic template."))
-    starts = np.cumsum([0] + group_sizes)
 
     def averaged_prob(exemplar_idx):
-        ref_uv = all_uv[exemplar_idx].astype(np.float32)
-        d = ((all_uv.astype(np.float32) - ref_uv[None]) ** 2).sum((1, 2, 3))
-        acc, counter = 0.0, 0
-        for g0, g1 in zip(starts[:-1], starts[1:]):
-            k = min(5, g1 - g0)  # ref takes top-5 per batch (avg_uv.py:222)
-            idx = g0 + np.argsort(d[g0:g1])[:k]
-            acc = acc + all_uv[idx].astype(np.float32).sum(0)
-            counter += k
-        return (acc / counter).transpose(1, 2, 0)  # [h,w,5]
+        return average_uv_maps(all_uv, group_sizes, exemplar_idx)
 
     order = np.argsort(all_scores)
     n_try = max(1, min(int(cfg.avg_uv_exemplar_retries), order.size))
+    # liveliness bar (VERDICT r4 #3): ALL parts non-empty AND balanced —
+    # each holds >= part_min_vert_frac of the template's vertices. The
+    # round-4 gate (head and belly non-empty) let a 22/0/0/620 template
+    # through and s2 trained 25 epochs on it.
+    min_cnt = max(1, int(np.ceil(cfg.part_min_vert_frac
+                                 * template.num_verts)))
     avg_prob = vert_label = face_label = None
+    best_live = -1
     for rank in range(n_try):
         cand = averaged_prob(int(order[rank]))
         fl, vl = derive_vertex_labels(cand, template)
         cnt = [int((vl == p).sum()) for p in range(1, cfg.num_parts + 1)]
-        if avg_prob is None:
-            avg_prob, face_label, vert_label = cand, fl, vl
-        if cnt[0] > 0 and cnt[3] > 0:
+        live = sum(c >= min_cnt for c in cnt)
+        if live > best_live:  # keep the best candidate seen so far
+            avg_prob, face_label, vert_label, best_live = cand, fl, vl, live
+        if all(c >= min_cnt for c in cnt):
             avg_prob, face_label, vert_label = cand, fl, vl
             if rank > 0:
                 print(green(
@@ -190,7 +189,7 @@ def run(cfg: Config, dataloader=None):
     counts = {n: len(p) for n, p in zip(("head", "neck", "back", "belly"),
                                         parts)}
     print(green(f"semantic template part vertex counts: {counts}"))
-    empty = [n for n, c in counts.items() if c == 0]
+    empty = [n for n, c in counts.items() if c < min_cnt]
     if empty:
         # corr-chamfer weights sit entirely on head/belly (ref
         # loss_utils.py:214) and part-matching weights on the
@@ -201,11 +200,13 @@ def run(cfg: Config, dataloader=None):
 
         from ..utils.visualizer import red
 
-        msg = (f"avg_uv produced EMPTY part vertex sets: {empty} "
-               f"(counts {counts}). The corr-chamfer and part-matching "
-               "losses will be degenerate in train_s2. Check the SCOPS "
-               "part maps, the s1 exemplar quality, and the uv part "
-               "averaging before training stage 2.")
+        msg = (f"avg_uv produced part vertex sets below the liveliness "
+               f"bar (>= {min_cnt} verts each): {empty} (counts "
+               f"{counts}). The corr-chamfer and part-matching losses "
+               "will be degenerate in train_s2 (which refuses this "
+               "template unless --force_template). Check the SCOPS part "
+               "maps, the s1 exemplar quality (uv_flow_area scalar), and "
+               "the uv part averaging before training stage 2.")
         warnings.warn(msg)
         print(red("WARNING: " + msg))
 
@@ -239,6 +240,39 @@ def run(cfg: Config, dataloader=None):
     )
     print(green(f"Semantic template saved at {cfg.out_dir}."))
     return cfg.out_dir
+
+
+def uv_transfer(part_prob, uvimage_pred):
+    """Image-space part probs -> UV-space part maps via the texture flow.
+
+    part_prob: [B, H, W, 5] NHWC; uvimage_pred: [B, h, w, 2] flow in
+    [-1, 1] image coords. Returns [B, 5, h, w] — exactly the reference's
+    `grid_sample(part_segs, uvimage_pred.permute(0,2,3,1))`
+    (ref: avg_uv.py:186-189,214-215). Factored out so the oracle-flow
+    test can drive it with a GT flow (tests/test_avg_uv_oracle.py).
+    """
+    return grid_sample(part_prob, uvimage_pred).transpose(0, 3, 1, 2)
+
+
+def average_uv_maps(all_uv, group_sizes, exemplar_idx):
+    """Top-5-closest-per-batch averaging of UV part maps.
+
+    all_uv: [N, 5, h, w] cached maps, group_sizes: batch sizes whose
+    cumsum partitions all_uv, exemplar_idx: index of the exemplar map.
+    Per batch, the 5 maps closest (L2) to the exemplar's map are summed;
+    the grand sum is normalized by the kept count — exactly the
+    reference's reduction (ref: avg_uv.py:203-227). Returns [h, w, 5].
+    """
+    starts = np.cumsum([0] + list(group_sizes))
+    ref_uv = all_uv[exemplar_idx].astype(np.float32)
+    d = ((all_uv.astype(np.float32) - ref_uv[None]) ** 2).sum((1, 2, 3))
+    acc, counter = 0.0, 0
+    for g0, g1 in zip(starts[:-1], starts[1:]):
+        k = min(5, g1 - g0)  # ref takes top-5 per batch (avg_uv.py:222)
+        idx = g0 + np.argsort(d[g0:g1])[:k]
+        acc = acc + all_uv[idx].astype(np.float32).sum(0)
+        counter += k
+    return (acc / counter).transpose(1, 2, 0)  # [h,w,5]
 
 
 def derive_vertex_labels(avg_prob, template):

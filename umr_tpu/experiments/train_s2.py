@@ -58,22 +58,32 @@ def load_semantic_template(cfg: Config, template):
     counts = dict(zip(("head", "belly", "neck", "back"),
                       (len(i) for i in part_vert_idx)))
     print(f"semantic template part vertex counts: {counts}")
-    # refuse silently-degenerate semantics: corr-chamfer weights live
-    # entirely on head/belly (ref loss_utils.py:214) — with either set
-    # empty, corr_loss is identically 0 for the whole run (round-3
-    # post-mortem). Warn loudly instead of erroring so a deliberate
-    # no-semantics run can still proceed and record its failure.
-    if counts["head"] == 0 or counts["belly"] == 0:
+    # Refuse degenerate semantics (VERDICT r4 weak #2): corr-chamfer
+    # weights live entirely on head/belly (ref loss_utils.py:214) and
+    # part-matching channel weights on head/belly (ref loss_utils.py:373)
+    # — a template failing the liveliness bar silently zeroes the
+    # semantic-consistency objective for the whole run (rounds 3 AND 4
+    # each burned a full s2 training on one). Hard stop unless
+    # --force_template, which downgrades to a loud warning for
+    # deliberate no-semantics runs.
+    min_cnt = max(1, int(np.ceil(cfg.part_min_vert_frac
+                                 * template.num_verts)))
+    starved = {n: c for n, c in counts.items() if c < min_cnt}
+    if starved:
+        msg = (f"semantic template fails the liveliness bar "
+               f"(every part >= {min_cnt} verts): {starved} of {counts}. "
+               "corr_loss/part_matching will be degenerate. Re-run "
+               "avg_uv with a better s1 checkpoint (check the "
+               "uv_flow_area scalar) or pass --force_template to train "
+               "on it anyway.")
+        if not cfg.force_template:
+            raise ValueError(msg)
         import warnings
 
         from ..utils.visualizer import red
 
-        msg = (f"semantic template has EMPTY head/belly vertex sets "
-               f"({counts}): corr_loss will be identically zero and "
-               "part_matching near-dead. Re-run avg_uv with a better s1 "
-               "checkpoint / part maps.")
         warnings.warn(msg)
-        print(red("WARNING: " + msg))
+        print(red("WARNING (forced): " + msg))
     return mean_v, seg, part_vert_idx
 
 

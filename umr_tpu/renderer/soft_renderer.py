@@ -63,6 +63,23 @@ def apply_lighting(
     return textures * light[:, :, None, :]
 
 
+def _auto_face_cap(F, render_size, tile_size, floor, ceiling=None):
+    """Size-aware per-tile face cap.
+
+    Occupancy model: a category-scale mesh fills a roughly constant screen
+    fraction, so per-tile face density scales with F * ts^2 / S^2; the
+    constant 32 gives >= 2x headroom over measured occupancy at every
+    size (synthetic bird: 86 needed at S=512 -> cap 160; 442 needed at
+    S=128 -> cap min(F, 2560) = F, i.e. exact). Degrading to cap = F when
+    the mesh collapses onto a few tiles makes small renders exact instead
+    of silently hole-ridden (the round-5 oracle-test finding)."""
+    cap = -(-32 * F * tile_size * tile_size // (render_size * render_size))
+    cap = max(floor, cap)
+    if ceiling is not None:
+        cap = min(cap, ceiling)
+    return min(F, cap)
+
+
 @dataclasses.dataclass(frozen=True)
 class SoftRenderer:
     """Weak-perspective soft renderer with the reference's camera convention.
@@ -92,13 +109,20 @@ class SoftRenderer:
     # 'dense' = all (pixel, face) pairs; 'auto' = binned for large renders.
     impl: str = "auto"
     tile_size: int = 32
-    max_faces_per_tile: int = 64
+    # 0 = auto-size from (F, render_size, tile_size) — see _auto_face_cap.
+    # Both binning paths keep the FIRST cap-many face ids per tile, so an
+    # undersized cap silently drops spatially-arbitrary fragments and
+    # pokes holes in the render (found round 5: the old fixed default of
+    # 64 destroyed small renders, where the whole mesh packs into a few
+    # tiles — 442 faces/tile measured at a 128-px render of the 1280-face
+    # bird vs 86 at 512 px). Explicit values are honored unchanged.
+    max_faces_per_tile: int = 0
     max_cover: int = 4
     tile_chunk: int = 0
-    # Pallas kernel cap: generous because work scales with the true count,
-    # only the per-tile DMA pays for the cap (crowded tiles happen when the
-    # mesh shrinks to a few tiles on screen)
-    pallas_mf_cap: int = 256
+    # Pallas kernel cap: 0 = auto (floor 256 — work scales with the true
+    # count, only the per-tile DMA pays for the cap; ceiling 1024 bounds
+    # the VMEM entry slab; rounded up to a DMA_CH multiple)
+    pallas_mf_cap: int = 0
 
     def ambient_light_only(self):
         return dataclasses.replace(
@@ -112,6 +136,24 @@ class SoftRenderer:
             directional_intensity=int_dir,
             ambient_intensity=int_amb,
         )
+
+    def resolved_mfpt(self, num_faces):
+        """The XLA binned path's per-tile face cap (auto unless set)."""
+        if self.max_faces_per_tile:
+            return self.max_faces_per_tile
+        render_size = self.image_size * (2 if self.anti_aliasing else 1)
+        return _auto_face_cap(num_faces, render_size, self.tile_size,
+                              floor=64)
+
+    def resolved_mf_cap(self, num_faces):
+        """The Pallas kernel's per-tile face cap (auto unless set);
+        rounded up to a DMA_CH multiple, VMEM-bounded by the ceiling."""
+        if self.pallas_mf_cap:
+            return self.pallas_mf_cap
+        render_size = self.image_size * (2 if self.anti_aliasing else 1)
+        cap = _auto_face_cap(num_faces, render_size, self.tile_size,
+                             floor=256, ceiling=1024)
+        return -(-cap // 32) * 32
 
     def project_points(self, verts, cams):
         """[B,N,3], [B,7] -> [B,N,2] (ref: nnutils/smr.py:76-78)."""
@@ -141,7 +183,7 @@ class SoftRenderer:
         render_size = self.image_size * (2 if self.anti_aliasing else 1)
         return compute_raster_bins(
             fv, render_size, self.tile_size, self.sigma_val, self.dist_eps,
-            self.pallas_mf_cap, self.max_cover,
+            self.resolved_mf_cap(fv.shape[1]), self.max_cover,
         )
 
     def __call__(self, vertices, faces, cams, textures=None,
@@ -252,7 +294,7 @@ class SoftRenderer:
                 double_side=True,
                 tile_size=self.tile_size,
                 max_cover=self.max_cover,
-                mf_cap=self.pallas_mf_cap,
+                mf_cap=self.resolved_mf_cap(fv.shape[1]),
                 aggr_func_rgb=self.render_type,
                 need_p2f=need_p2f,
                 mask_only=mask_only,
@@ -267,7 +309,7 @@ class SoftRenderer:
                 fv,
                 textures,
                 tile_size=self.tile_size,
-                max_faces_per_tile=self.max_faces_per_tile,
+                max_faces_per_tile=self.resolved_mfpt(fv.shape[1]),
                 max_cover=self.max_cover,
                 tile_chunk=self.tile_chunk or None,
                 **common,

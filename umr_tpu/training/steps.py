@@ -173,6 +173,28 @@ def normalize_part_segs(part_prob, masks):
 # Stage 2
 # =========================================================================
 
+def uv_flow_area(uvimage_pred, grid=16):
+    """Flow-health metric: mean fraction of a grid x grid image partition
+    the UV flow image samples (VERDICT r4 #7).
+
+    uvimage_pred: [B, h, w, 2] in [-1, 1]. A collapsed flow (all UV
+    pixels sampling near one image point — the round-3/4 failure mode)
+    covers ~1/256; an oracle/converged flow covers the bird's image
+    footprint (~0.2-0.4 at CUB framing). Used as a scalar every s1 step
+    and as the synparity harness's s1->avg_uv handoff gate.
+    """
+    cells = jnp.clip(
+        ((uvimage_pred + 1.0) * (0.5 * grid)).astype(jnp.int32), 0, grid - 1
+    )
+    flat = (cells[..., 1] * grid + cells[..., 0]).reshape(
+        uvimage_pred.shape[0], -1
+    )
+    occ = jax.vmap(
+        lambda f: jnp.zeros((grid * grid,), jnp.float32).at[f].set(1.0)
+    )(flat)
+    return occ.mean(axis=-1).mean()
+
+
 def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
                   part_vert_idx):
     """Returns (model, disc, lpips, init_fn, step_fn).
@@ -619,6 +641,14 @@ def build_s1_step(cfg: Config, template):
                 + sc["tex_dt_loss"] * cfg.tex_dt_loss_wt
                 + cycle * cfg.tex_cycle_loss_wt
             )
+            # s1 flow health (VERDICT r4 #7): fraction of a 16x16 image
+            # grid the UV flow image samples. A barely-trained tanh flow
+            # collapses to a few cells near the image center — the
+            # measured root cause of the round-3/4 semantic-template
+            # collapse (tests/test_avg_uv_oracle.py) — while a converged
+            # flow spreads over the bird's footprint. Logged every step;
+            # the synparity harness gates the s1->avg_uv handoff on it.
+            sc["uv_flow_area"] = uv_flow_area(outputs["uvimage_pred"])
 
         if cfg.use_gan:
             angles = jax.random.randint(k_gan, (B,), 0, 180)

@@ -231,6 +231,7 @@ class Trainer:
             visualizer.print_current_scalars(epoch, epoch_iter + 1, sc)
 
         if (cfg.display_visuals and self.visuals_fn is not None
+                and cfg.display_freq > 0  # <=0 = never dump visuals
                 and total_steps % cfg.display_freq == 0):
             from .visuals import save_visuals
 
