@@ -118,6 +118,10 @@ def run(cfg: Config, dataloader=None):
     # image) so pass 2 is a host-side reduction that can be re-run per
     # exemplar candidate for free.
     print(green("Search for the exemplar instance."))
+    import time
+
+    t_pass1 = time.perf_counter()
+    t_first = None  # first batch ~= compile cost (VERDICT r4 weak #6)
     all_scores, all_uv, group_sizes = [], [], []
     for batch in dataloader:
         db = prepare_batch(batch, use_scops=True, use_texture=False)
@@ -131,8 +135,16 @@ def run(cfg: Config, dataloader=None):
         all_scores.append(np.asarray(score))
         all_uv.append(np.asarray(uv_parts).astype(np.float16))
         group_sizes.append(int(score.shape[0]))
+        if t_first is None:
+            t_first = time.perf_counter() - t_pass1
     all_scores = np.concatenate(all_scores)
     all_uv = np.concatenate(all_uv)  # [N,5,h,w] fp16
+    t_pass1 = time.perf_counter() - t_pass1
+    n_b = max(1, len(group_sizes))
+    print(green(
+        f"avg_uv pass1: {t_pass1:.1f}s over {n_b} batches "
+        f"(first batch {t_first:.1f}s = compile+warmup, steady "
+        f"{(t_pass1 - t_first) / max(1, n_b - 1):.2f}s/batch)"))
 
     # ---- pass 2: average top-5-closest uv part maps per batch ---------
     # Exactly the reference's reduction (top-5 closest to the exemplar

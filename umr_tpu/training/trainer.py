@@ -71,6 +71,16 @@ class Trainer:
         # refreshed at the END of each forward — ref: train_s2.py:183-184,
         # 270). None until the first batch arrives.
         self._lagged_real = None
+        # Per-stage wall budget (VERDICT r4 #5): where each step-cycle
+        # second goes — loader wait, host prep, device transfer/shard,
+        # step dispatch, scalar drain (device sync), visuals, saves.
+        # Written to {save_dir}/stage_budget.json at every save and at
+        # the end of training; first_cycle_s isolates compile cost.
+        self._budget = {k: 0.0 for k in (
+            "loader", "prep", "transfer", "dispatch", "drain", "vis",
+            "save")}
+        self._budget_n = 0
+        self._first_cycle_s = None
 
     def _maybe_auto_resume(self):
         """Restore the latest Orbax training state when one exists.
@@ -101,6 +111,7 @@ class Trainer:
                 f.write(f"{k}: {v}\n")
 
     def save(self, label):
+        t0 = time.perf_counter()
         checkpoints.save_state(self.save_dir, "pred", self.state)
         tp = getattr(self.state, "trunk_pretrained", None)
         bs = getattr(self.state, "batch_stats", None) or {}
@@ -113,6 +124,26 @@ class Trainer:
             },
             batch_stats=jax.device_get(bs.get("model")) if bs else None,
         )
+        self._budget["save"] += time.perf_counter() - t0
+        self._dump_budget()
+
+    def _dump_budget(self):
+        if not self._budget_n:
+            return
+        import json
+
+        n = self._budget_n
+        out = {f"{k}_s_per_step": round(v / n, 4)
+               for k, v in self._budget.items()}
+        out["steps"] = n
+        out["total_s_per_step"] = round(
+            sum(self._budget.values()) / n, 4)
+        if self._first_cycle_s is not None:
+            out["first_cycle_s"] = round(self._first_cycle_s, 1)
+        with open(os.path.join(self.save_dir, "stage_budget.json"),
+                  "w") as f:
+            json.dump(out, f, indent=1)
+        print("stage budget:", json.dumps(out))
 
     def train(self):
         cfg = self.cfg
@@ -147,10 +178,13 @@ class Trainer:
         if done_epochs and hasattr(self.dataloader, "_epoch"):
             self.dataloader._epoch = done_epochs
 
+        loop_start = t_mark = time.perf_counter()
         for epoch in range(cfg.num_pretrain_epochs + done_epochs,
                            cfg.num_epochs):
             epoch_iter = 0
             for batch in self.dataloader:
+                t0 = time.perf_counter()
+                self._budget["loader"] += t0 - t_mark
                 rng, step_key = jax.random.split(rng)
                 db = prepare_batch(batch, cfg.use_scops, cfg.use_texture)
                 # one-batch-lag GAN reals (ref: train_s2.py:183-184,270);
@@ -161,15 +195,20 @@ class Trainer:
                         and self._lagged_real.shape == cur_real.shape):
                     db["real_imgs"] = self._lagged_real
                 self._lagged_real = cur_real
+                t1 = time.perf_counter()
+                self._budget["prep"] += t1 - t0
                 if self.mesh is not None:
                     db = shard_batch(db, self.mesh)
                 else:
                     db = jax.tree.map(jnp.asarray, db)
+                t2 = time.perf_counter()
+                self._budget["transfer"] += t2 - t1
 
                 start = time.time()
                 self.state, scalars = self.step_fn(
                     self.state, db, step_key, *self.extra_step_args(epoch)
                 )
+                self._budget["dispatch"] += time.perf_counter() - t2
                 dispatched += 1
                 # One-step-lagged scalar drain: reading total_loss here
                 # would force the step to COMPLETE before the next host
@@ -181,6 +220,11 @@ class Trainer:
                     total_steps, smoothed, visualizer)
                 self._pending = (scalars, start, epoch, epoch_iter, db)
                 epoch_iter += 1
+                self._budget_n += 1
+                if self._budget_n == 2 and self._first_cycle_s is None:
+                    # first two cycles ~= compile + warmup cost
+                    self._first_cycle_s = time.perf_counter() - loop_start
+                t_mark = time.perf_counter()
 
                 if cfg.num_iter and dispatched >= cfg.num_iter:
                     total_steps, smoothed = self._drain(
@@ -193,7 +237,11 @@ class Trainer:
                 # update) and deserves a synced device
                 total_steps, smoothed = self._drain(
                     total_steps, smoothed, visualizer)
+                t0 = time.perf_counter()
                 self.state = self.on_epoch_end(self.state, epoch) or self.state
+                self._budget.setdefault("epoch_end", 0.0)
+                self._budget["epoch_end"] += time.perf_counter() - t0
+                t_mark = time.perf_counter()
 
             if (epoch + 1) % cfg.save_epoch_freq == 0:
                 total_steps, smoothed = self._drain(
@@ -217,7 +265,9 @@ class Trainer:
         cfg = self.cfg
         scalars, start, epoch, epoch_iter, db = self._pending
         self._pending = None
+        t0 = time.perf_counter()
         total = float(scalars["total_loss"])  # sync point
+        self._budget["drain"] += time.perf_counter() - t0
         iter_time = time.time() - start
         smoothed = smoothed * 0.99 + 0.01 * total
         total_steps += 1
@@ -235,7 +285,9 @@ class Trainer:
                 and total_steps % cfg.display_freq == 0):
             from .visuals import save_visuals
 
+            t0 = time.perf_counter()
             save_visuals(self.visuals_fn(self.state, db), self.vis_out)
+            self._budget["vis"] += time.perf_counter() - t0
             print(green(f"Visualization saved at {self.vis_out}."))
 
         if total_steps % cfg.save_latest_freq == 0:
