@@ -87,8 +87,12 @@ def test_full_pipeline(tmp_path):
     # ---- stage 2 (2 iterations, consumes the template) ------------------
     from umr_tpu.experiments import train_s2
 
+    # force_template: 2 iterations of s1 on random data legitimately
+    # yield a dead semantic template, which train_s2 now refuses by
+    # default (round 5); this smoke test is about plumbing, not quality
     cfg2 = _cfg(tmp, name="s2", use_scops=True, model_path=s1_pth,
-                display_visuals=True, display_freq=2)
+                display_visuals=True, display_freq=2,
+                force_template=True)
     train_s2.run(cfg2, dataloader=_Loader())
     s2_pth = os.path.join(tmp, "snap", "s2", "pred_net_latest.pth")
     assert os.path.exists(s2_pth)
