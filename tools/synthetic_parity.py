@@ -82,6 +82,10 @@ def main():
                     "entirely. The first dump pays a multi-minute remote "
                     "compile of the batch-4 vis render graphs, so "
                     "time-boxed runs may want 0 or very large")
+    ap.add_argument("--save_freq", type=int, default=200,
+                    help="save_latest_freq for the training stages; each "
+                    "save device_gets ~370 MB of params through the "
+                    "tunnel, so time-boxed runs may want this larger")
     ap.add_argument("--skip_train", action="store_true",
                     help="evaluate existing checkpoints only")
     args = ap.parse_args()
@@ -109,7 +113,8 @@ def main():
         checkpoint_dir=osp.join(out, "snap"),
         vis_dir=osp.join(out, "vis"),
         results_vis_dir=osp.join(out, "rvis"),
-        num_epochs=100000, save_latest_freq=200, save_epoch_freq=100000,
+        num_epochs=100000, save_latest_freq=args.save_freq,
+        save_epoch_freq=100000,
         print_freq=20, display_freq=args.display_freq,
         stemp_path=osp.join(out, "stemp"),
     )
