@@ -108,3 +108,24 @@ def test_s1_step_and_template_update(rng, template):
     ori = float(sc_e0["ori_loss"]) * CFG.ori_reg_wt
     deform = float(sc_e0["deform_loss"]) * CFG.deform_reg_wt
     np.testing.assert_allclose(t0 - ori + deform, t10, rtol=1e-4)
+
+
+def test_uv_flow_area_separates_collapsed_from_spread(rng):
+    """The s1 flow-health scalar (VERDICT r4 #7) must cleanly separate a
+    center-collapsed flow (the round-3/4 failure mode) from a spread
+    one, with room for the synparity gate at 0.10."""
+    import jax.numpy as jnp
+
+    from umr_tpu.training.steps import uv_flow_area
+
+    collapsed = jnp.asarray(
+        rng.uniform(-0.05, 0.05, (2, 32, 64, 2)).astype(np.float32))
+    spread = jnp.asarray(
+        rng.uniform(-0.6, 0.6, (2, 32, 64, 2)).astype(np.float32))
+    a_c = float(uv_flow_area(collapsed))
+    a_s = float(uv_flow_area(spread))
+    assert a_c < 0.05, a_c
+    assert a_s > 0.2, a_s
+    # constant flow covers exactly one cell
+    const = jnp.zeros((1, 16, 16, 2))
+    assert abs(float(uv_flow_area(const)) - 1.0 / 256.0) < 1e-6
