@@ -110,20 +110,28 @@ class Trainer:
             for k, v in sorted(vars(self.cfg).items()):
                 f.write(f"{k}: {v}\n")
 
-    def save(self, label):
+    def save(self, label, export_pth=True):
+        """Orbax state (resume) + optionally the reference-format .pth.
+
+        export_pth=False on mid-run cadence saves: the .pth is only
+        consumed at stage handoffs (avg_uv/train_s2/eval), and exporting
+        it device_gets ~370 MB of reference-parity params through the
+        tunnel on top of Orbax's ~1.1 GB (params + Adam moments) — the
+        round-5 stage budget measured ~111 s per full save."""
         t0 = time.perf_counter()
         checkpoints.save_state(self.save_dir, "pred", self.state)
-        tp = getattr(self.state, "trunk_pretrained", None)
-        bs = getattr(self.state, "batch_stats", None) or {}
-        checkpoints.save_pth(
-            os.path.join(self.save_dir, f"pred_net_{label}.pth"),
-            jax.device_get(self.state.params["model"]),
-            jax.device_get(self.state.template),
-            meta=None if tp is None else {
-                "trunk_pretrained": jax.device_get(tp)
-            },
-            batch_stats=jax.device_get(bs.get("model")) if bs else None,
-        )
+        if export_pth:
+            tp = getattr(self.state, "trunk_pretrained", None)
+            bs = getattr(self.state, "batch_stats", None) or {}
+            checkpoints.save_pth(
+                os.path.join(self.save_dir, f"pred_net_{label}.pth"),
+                jax.device_get(self.state.params["model"]),
+                jax.device_get(self.state.template),
+                meta=None if tp is None else {
+                    "trunk_pretrained": jax.device_get(tp)
+                },
+                batch_stats=jax.device_get(bs.get("model")) if bs else None,
+            )
         self._budget["save"] += time.perf_counter() - t0
         self._dump_budget()
 
@@ -295,5 +303,5 @@ class Trainer:
                 f"saving the model at epoch {epoch}, "
                 f"iters {total_steps}"
             ))
-            self.save("latest")
+            self.save("latest", export_pth=False)
         return total_steps, smoothed
