@@ -133,3 +133,32 @@ def test_fps_and_symmetry():
     assert len(set(idx.tolist())) == 15
     lab = face_part_labels(sphere, template.faces)
     assert set(np.unique(lab)) == {0, 1, 2, 3}
+
+
+def test_device_data_loader_matches_host(data):
+    """device_data=True must yield numerically identical batches to the
+    host path (same epoch shuffle, same part points), with image-sized
+    arrays already on device — the round-5 fix for the tunnel client's
+    per-transfer host memory leak (46 MB/step -> 130 GB OOM at ~2700
+    steps) and the 0.15-0.73 s/step transfer cost."""
+    import jax
+
+    from umr_tpu.data.synthetic_category import CategoryLoader
+    from umr_tpu.training.trainer import prepare_batch
+
+    d, _ = data
+    host = CategoryLoader(d, 4, seed=3, use_scops=True)
+    dev = CategoryLoader(d, 4, seed=3, use_scops=True, device_data=True)
+    bh = next(iter(host))
+    bd = next(iter(dev))
+    assert isinstance(bd["img"], jax.Array)
+    for k in bh:
+        np.testing.assert_allclose(
+            np.asarray(bd[k]), np.asarray(bh[k]), atol=1e-6, err_msg=k)
+    # prepare_batch stays on device end to end
+    db = prepare_batch(bd, use_scops=True, use_texture=True)
+    assert isinstance(db["input_img"], jax.Array)
+    assert isinstance(db["real_imgs"], jax.Array)
+    np.testing.assert_allclose(
+        np.asarray(db["input_img"]),
+        np.asarray(prepare_batch(bh, True, True)["input_img"]), atol=1e-5)

@@ -174,7 +174,7 @@ def main():
         t0 = time.perf_counter()
         if not args.skip_train:
             loader1 = CategoryLoader(train, args.batch, seed=10,
-                                     use_scops=False)
+                                     use_scops=False, device_data=True)
             train_s1.run(cfg1, dataloader=loader1)
         summary["s1_wall_s"] += round(time.perf_counter() - t0, 1)
         assert osp.exists(s1_pth), s1_pth
@@ -196,7 +196,7 @@ def main():
         if not (args.skip_train and osp.exists(osp.join(
                 stemp, "semantic_seg.png"))):
             loader_uv = CategoryLoader(train, args.batch, shuffle=False,
-                                       use_scops=True)
+                                       use_scops=True, device_data=True)
             avg_uv.run(cfg_uv, dataloader=loader_uv)
         summary["avg_uv_wall_s"] += round(time.perf_counter() - t0, 1)
         # the semantic-consistency losses are only live if every part
@@ -243,7 +243,7 @@ def main():
     t0 = time.perf_counter()
     if not args.skip_train:
         loader2 = CategoryLoader(train, args.batch, seed=20,
-                                 use_scops=True)
+                                 use_scops=True, device_data=True)
         train_s2.run(cfg2, dataloader=loader2)
     summary["s2_wall_s"] = round(time.perf_counter() - t0, 1)
     assert osp.exists(s2_pth), s2_pth

@@ -292,10 +292,20 @@ class CategoryLoader:
     """In-memory loader over a generated dataset; yields the CUB batch
     dict structure (img/mask/dts_barrier/part_prob/kp/{part}_points).
     Part points are re-sampled per visit like the reference loader
-    (ref: data/base.py:157-166)."""
+    (ref: data/base.py:157-166).
+
+    device_data=True stages the image-sized arrays on the accelerator
+    ONCE and yields device slices (jnp.take by batch indices) instead of
+    fresh host->device transfers. Two reasons, both measured round 5 on
+    the tunneled TPU: (a) the tunnel client leaks every transfer buffer
+    (~46 MB/step at batch 16 -> a 130 GB OOM kill after ~2700 steps;
+    jax Array.delete() does not release it), and (b) per-step transfer
+    cost was 0.15-0.73 s of a ~1.5 s step cycle. Per-visit host work
+    (part-point sampling) stays on host; only tiny index/point arrays
+    cross per step. The full dataset is ~1 GB on device at n=384."""
 
     def __init__(self, data, batch_size, shuffle=True, seed=0,
-                 use_scops=True, drop_last=True):
+                 use_scops=True, drop_last=True, device_data=False):
         self.data = data
         self.n = data["img"].shape[0]
         self.batch_size = batch_size
@@ -303,7 +313,22 @@ class CategoryLoader:
         self.seed = seed
         self.use_scops = use_scops
         self.drop_last = drop_last
+        self.device_data = device_data
+        self._dev = None
         self._epoch = 0
+
+    def _device_arrays(self):
+        if self._dev is None:
+            import jax.numpy as jnp
+
+            keys = ["img", "mask", "dts_barrier"]
+            if self.use_scops:
+                keys.append("part_prob")
+            self._dev = {
+                k: jnp.asarray(self.data[k].astype(np.float32))
+                for k in keys
+            }
+        return self._dev
 
     def __len__(self):
         if self.drop_last:
@@ -327,16 +352,26 @@ class CategoryLoader:
             rng.shuffle(order)
         self._epoch += 1
         nb = len(self)
+        dev = self._device_arrays() if self.device_data else None
         for bi in range(nb):
             idx = order[bi * self.batch_size:(bi + 1) * self.batch_size]
-            batch = {
-                "img": self.data["img"][idx],
-                "mask": self.data["mask"][idx],
-                "dts_barrier": self.data["dts_barrier"][idx],
-                "kp": self.data["kp"][idx],
-            }
+            if dev is not None:
+                import jax.numpy as jnp
+
+                idxd = jnp.asarray(idx.astype(np.int32))
+                batch = {k: jnp.take(v, idxd, axis=0)
+                         for k, v in dev.items()}
+                batch["kp"] = self.data["kp"][idx]  # tiny, host
+            else:
+                batch = {
+                    "img": self.data["img"][idx],
+                    "mask": self.data["mask"][idx],
+                    "dts_barrier": self.data["dts_barrier"][idx],
+                    "kp": self.data["kp"][idx],
+                }
+                if self.use_scops:
+                    batch["part_prob"] = self.data["part_prob"][idx]
             if self.use_scops:
-                batch["part_prob"] = self.data["part_prob"][idx]
                 pts = [
                     self._points(self.data["part_prob"][i],
                                  self.data["mask"][i], rng)

@@ -107,9 +107,7 @@ def run(cfg: Config, dataloader=None):
         scale = tex_loss.mean() / dist.mean()
         score = tex_loss + dist * scale
         # uv part maps: sample part probs at the predicted uv flow image
-        uv_parts = uv_transfer(
-            part_segs.transpose(0, 2, 3, 1), out["uvimage_pred"]
-        )
+        uv_parts = uv_transfer(part_segs, out["uvimage_pred"])
         return score, uv_parts, pred_vs
 
     # ---- pass 1: exemplar search --------------------------------------
@@ -125,12 +123,10 @@ def run(cfg: Config, dataloader=None):
     all_scores, all_uv, group_sizes = [], [], []
     for batch in dataloader:
         db = prepare_batch(batch, use_scops=True, use_texture=False)
-        part_segs = jnp.asarray(
-            np.transpose(db["part_prob"], (0, 3, 1, 2))
-        )
         score, uv_parts, _ = score_batch(
             variables, lp, jnp.asarray(db["input_img"]),
-            jnp.asarray(db["img"]), jnp.asarray(db["mask"]), part_segs,
+            jnp.asarray(db["img"]), jnp.asarray(db["mask"]),
+            jnp.asarray(db["part_prob"]),
         )
         all_scores.append(np.asarray(score))
         all_uv.append(np.asarray(uv_parts).astype(np.float16))
