@@ -15,6 +15,16 @@ modified.
   PYTHONPATH=/root/.axon_site:/root/repo python tools/extend_s2.py \
       --src cachedir/synparity_r6 --out cachedir/synparity_r6_ext \
       --s2_iters 5000
+
+`--fresh` instead trains s2 FROM SCRATCH off the source run's semantic
+template (the reference's s2 never loads the s1 net, only mean_v — ref
+cub_mesh.py:393-396), and `--set key=value` overrides Config fields —
+together they run controlled s2 ablations against the same s1/avg_uv
+artifacts, e.g. the cycle_soft_p2f experiment:
+
+  ... tools/extend_s2.py --src cachedir/synparity_r6 \
+      --out cachedir/synparity_r6_softp2f --fresh \
+      --set cycle_soft_p2f=True --s2_iters 2500
 """
 
 import argparse
@@ -39,11 +49,27 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--n_pairs", type=int, default=200)
     ap.add_argument("--save_freq", type=int, default=500)
+    ap.add_argument("--fresh", action="store_true",
+                    help="train s2 from scratch off the source run's "
+                    "semantic template instead of resuming its s2 state")
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="Config override (repeatable), e.g. "
+                    "cycle_soft_p2f=True")
     args = ap.parse_args()
+
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        try:
+            overrides[k] = json.loads(v.lower() if v in ("True", "False")
+                                      else v)
+        except json.JSONDecodeError:
+            overrides[k] = v
 
     src, out = osp.abspath(args.src), osp.abspath(args.out)
     os.makedirs(osp.join(out, "snap"), exist_ok=True)
-    for sub in (("snap", "s2"), ("stemp",)):
+    subs = (("stemp",),) if args.fresh else (("snap", "s2"), ("stemp",))
+    for sub in subs:
         dst = osp.join(out, *sub)
         if not osp.isdir(dst):
             shutil.copytree(osp.join(src, *sub), dst)
@@ -66,7 +92,8 @@ def main():
         save_epoch_freq=100000, print_freq=20, display_freq=0,
         stemp_path=osp.join(out, "stemp"),
     )
-    summary = {"src": src, "s2_iters": args.s2_iters}
+    summary = {"src": src, "s2_iters": args.s2_iters,
+               "fresh": args.fresh, "overrides": overrides}
 
     def save_summary():
         with open(osp.join(out, "summary.json"), "w") as f:
@@ -74,7 +101,7 @@ def main():
 
     # ---- resume stage 2 to the extended iteration count ------------------
     cfg2 = Config(**common, name="s2", use_scops=True,
-                  num_iter=args.s2_iters)
+                  num_iter=args.s2_iters, **overrides)
     s2_pth = osp.join(out, "snap", "s2", "pred_net_latest.pth")
     t0 = time.perf_counter()
     loader2 = CategoryLoader(train, args.batch, seed=20,

@@ -126,6 +126,16 @@ class Config:
     # HBM for large batches (each chunk renders B*K/chunks images at 2x
     # the output resolution)
     hypo_render_chunks: int = 1
+    # Opt-in fix of a reference stage-2 defect: the reference's s2
+    # texture-cycle target is the HARD renderer's p2f side output, which
+    # the CUDA kernel only accumulates in the softmax-RGB branch — it is
+    # identically zero (soft_rasterize_cuda_kernel.cu:417-430 vs the hard
+    # branch :453-459), so the s2 cycle term regresses the mean flow of
+    # every visible face toward the image center. False (default) keeps
+    # bit-parity with that quirk; True uses the soft renderer's real
+    # expected image coordinate per face at the sampled camera — exactly
+    # the target stage 1 already uses (ref train_s1.py:217-226).
+    cycle_soft_p2f: bool = False
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

@@ -234,6 +234,13 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
     part_bins_ok = all(
         getattr(pr, f) == getattr(hard_renderer, f) for f in _BIN_FIELDS
     )
+    # the cycle_soft_p2f render draws the same geometry at proj_cam as the
+    # hard visibility pass; its bins are reusable iff the two renderers
+    # agree on every binning-relevant field
+    tex_bins_ok = all(
+        getattr(tex_renderer, f) == getattr(hard_renderer, f)
+        for f in _BIN_FIELDS
+    )
     # the merged part+GAN render draws the part groups with dis_renderer
     # using bins computed by hard_renderer; valid only when the part
     # renderer is render-equivalent to dis_renderer AND all three agree
@@ -384,12 +391,29 @@ def build_s2_step(cfg: Config, template, part_loss: PartMatchingLoss,
                 stop(pred_vs), faces, proj_cam, bins=main_bins
             )
             face_ids = hard_out.aggr[:, 1].reshape(B, -1)
+            if cfg.cycle_soft_p2f:
+                # opt-in fix of the reference's s2 quirk (see Config
+                # docstring): target the soft renderer's real per-face
+                # expected image coordinate at the sampled camera — the
+                # same target stage 1 uses (ref train_s1.py:217-226) —
+                # instead of the hard renderer's all-zero p2f. Every
+                # input is stopped, so this render carries no backward.
+                p2f_out = tex_renderer.render(
+                    stop(pred_vs), faces, proj_cam, stop(tex),
+                    need_p2f=True, tex_grads=False,
+                    bins=main_bins if tex_bins_ok else None,
+                )
+                cycle_p2f = p2f_out.p2f
+            else:
+                cycle_p2f = hard_out.p2f
             cycle, _ = tex_cycle_loss(
-                tex_flow, stop(hard_out.p2f), stop(face_ids)
+                tex_flow, stop(cycle_p2f), stop(face_ids)
             )
             sc["tex_loss"] = tex_loss
             sc["tex_dt_loss"] = dt_loss
             sc["tex_cycle_loss"] = cycle
+            # flow-health diagnostic, same metric s1 logs (VERDICT r4 #7)
+            sc["uv_flow_area"] = uv_flow_area(outputs["uvimage_pred"])
             total = (
                 total
                 + tex_loss * cfg.tex_loss_wt
