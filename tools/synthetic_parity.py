@@ -88,7 +88,20 @@ def main():
                     "tunnel, so time-boxed runs may want this larger")
     ap.add_argument("--skip_train", action="store_true",
                     help="evaluate existing checkpoints only")
+    ap.add_argument("--s2_set", action="append", default=[], metavar="K=V",
+                    help="stage-2 Config override (repeatable), e.g. "
+                    "cycle_soft_p2f=True; parsed as JSON, falls back to "
+                    "string")
     args = ap.parse_args()
+
+    s2_overrides = {}
+    for kv in args.s2_set:
+        k, v = kv.split("=", 1)
+        try:
+            s2_overrides[k] = json.loads(
+                v.lower() if v in ("True", "False") else v)
+        except json.JSONDecodeError:
+            s2_overrides[k] = v
 
     import jax
 
@@ -238,7 +251,8 @@ def main():
     # stemp_path; the s1 .pth must not be force-loaded (the s1/s2 shape
     # heads differ: s1's MLP head vs s2's 337*3 delta head).
     cfg2 = Config(**common, name="s2", use_scops=True,
-                  num_iter=args.s2_iters)
+                  num_iter=args.s2_iters, **s2_overrides)
+    summary["s2_overrides"] = s2_overrides
     s2_pth = osp.join(out, "snap", "s2", "pred_net_latest.pth")
     t0 = time.perf_counter()
     if not args.skip_train:
