@@ -22,8 +22,12 @@ from umr_tpu.mesh import build_template
 from umr_tpu.parallel import (
     data_parallel_step,
     make_mesh,
+    make_mesh_2d,
+    param_partition_specs,
     replicate,
     shard_batch,
+    shard_state,
+    tensor_parallel_step,
 )
 from umr_tpu.renderer import SoftRenderer
 from umr_tpu.training.steps import build_s2_step
@@ -107,6 +111,82 @@ def test_data_parallel_step_shardings(s2):
     for leaf in jax.tree.leaves(new_state.params):
         assert leaf.sharding.is_equivalent_to(repl, leaf.ndim)
     assert np.isfinite(float(sc["total_loss"]))
+
+
+def test_tensor_parallel_step_matches_unsharded(s2):
+    """dp x tp (4x2) step == single-device step; big weights really shard.
+
+    The reference has no model parallelism; this pins the beyond-parity
+    Megatron-style path: texture-head fc kernels (and their Adam moments)
+    sharded on the 'model' axis, batch on 'data', identical math."""
+    state, batch, step_fn = s2
+    rng = jax.random.key(1)
+
+    ref_state, ref_sc = jax.jit(step_fn)(state, batch, rng)
+    ref_sc = jax.device_get(ref_sc)
+
+    mesh = make_mesh_2d(4, 2)
+    # low threshold so several kernels shard even at the tiny test shapes
+    state_s, specs = shard_state(state, mesh, min_size=1 << 12)
+    n_model_sharded = sum(
+        1 for s in jax.tree.leaves(specs) if "model" in tuple(s)
+    )
+    assert n_model_sharded >= 2, "no weights were model-sharded"
+
+    # the texture-head enc fc (8192x8192 at these shapes too) must shard:
+    # its addressable shards are half the global size along one dim
+    tex_fc = state_s.params["model"]["texture_predictor"]["enc"]
+    big = max(jax.tree.leaves(tex_fc), key=lambda x: x.size)
+    shard_shape = big.addressable_shards[0].data.shape
+    assert np.prod(shard_shape) * 2 == big.size, (
+        f"texture fc not sharded: {shard_shape} vs {big.shape}"
+    )
+
+    tp_step = tensor_parallel_step(step_fn, mesh, specs)
+    new_state, sc = tp_step(state_s, shard_batch(batch, mesh), rng)
+    sc = jax.device_get(sc)
+
+    assert set(sc) == set(ref_sc)
+    for k in ref_sc:
+        np.testing.assert_allclose(
+            sc[k], ref_sc[k], rtol=5e-4, atol=2e-5,
+            err_msg=f"scalar {k} diverged under dp x tp sharding",
+        )
+    # updated sharded params stay sharded and match the unsharded update
+    new_big = max(
+        jax.tree.leaves(
+            new_state.params["model"]["texture_predictor"]["enc"]
+        ),
+        key=lambda x: x.size,
+    )
+    assert np.prod(new_big.addressable_shards[0].data.shape) * 2 == big.size
+    ref_big = max(
+        jax.tree.leaves(
+            ref_state.params["model"]["texture_predictor"]["enc"]
+        ),
+        key=lambda x: x.size,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_big), np.asarray(ref_big), rtol=5e-4, atol=2e-5
+    )
+
+
+def test_param_partition_specs_shape_rule():
+    mesh = make_mesh_2d(4, 2)
+    tree = {
+        "big_kernel": jnp.zeros((64, 128)),       # shard dim 1 (larger)
+        "square": jnp.zeros((128, 128)),          # tie -> later dim
+        "odd": jnp.zeros((63, 127)),              # indivisible -> replicated
+        "small": jnp.zeros((4, 4)),               # below min_size
+        "scalar": jnp.zeros(()),
+    }
+    specs = param_partition_specs(tree, mesh, min_size=1 << 10)
+    from jax.sharding import PartitionSpec as PS
+    assert specs["big_kernel"] == PS(None, "model")
+    assert specs["square"] == PS(None, "model")
+    assert specs["odd"] == PS()
+    assert specs["small"] == PS()
+    assert specs["scalar"] == PS()
 
 
 def test_shard_batch_splits_leading_dim():
